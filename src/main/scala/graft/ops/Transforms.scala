@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch `Dataset` analogs of the reference's 17 transforms
+  * (reference: src/transforms/mod.rs:5-37; inventory in SURVEY.md §2.1).
+  *
+  * Each transform from the reference is re-expressed as a declarative
+  * Catalyst plan fragment — `DataFrame => DataFrame` — so predicate
+  * pushdown, column pruning and whole-stage codegen apply. Stateful
+  * processing-time semantics (LRU dedupe, GCRA throttle, ring-buffer
+  * window) are re-defined over an explicit deterministic ordering column,
+  * which is the only meaning they can have in a distributed batch engine
+  * (SURVEY.md §7 "hard parts" #1).
+  */
+object Transforms {
+
+  /** `filter` transform (reference: src/transforms/filter.rs:88-96):
+    * drop rows failing a condition. Trivially `ds.filter` — Catalyst pushes
+    * it into the scan.
+    */
+  def filterT(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+
+  /** `sample` transform, key-field mode (reference:
+    * src/transforms/sample/transform.rs:81-91: seahash(key) % rate == 0).
+    * Deterministic hash-bucket sampling on a key column: keeps exactly the
+    * rows whose key hashes into bucket 0 of `rate` buckets, and annotates
+    * the effective `sample_rate` like the reference does
+    * (sample/transform.rs:146). Scale note: a pure narrow map — no shuffle.
+    */
+  def sampleByHash(df: DataFrame, key: Column, rate: Int): DataFrame =
+    df.filter(pmod(xxhash64(key), lit(rate)) === 0)
+      .withColumn("sample_rate", lit(rate))
+
+  /** `sample` on an already-numeric key: `key % rate == 0`. Used when the
+    * key is a dense id and the oracle must be SQL-expressible in any engine.
+    */
+  def sampleByMod(df: DataFrame, key: Column, rate: Int): DataFrame =
+    df.filter(pmod(key, lit(rate)) === 0).withColumn("sample_rate", lit(rate))
+
+  /** `dedupe` transform (reference: src/transforms/dedupe/transform.rs:47-85
+    * — drop events whose match-fields were seen before). Batch semantics:
+    * keep the first row per key under a deterministic `orderBy`, which is
+    * the distributed meaning of the reference's arrival-order LRU.
+    * Scale note: one shuffle on the key; map-side partial aggregation does
+    * not apply to row_number, so for pure "keep any one" use
+    * `dropDuplicates` instead (hash-agg, partial-combinable).
+    */
+  def dedupeKeepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** `throttle` transform (reference: src/transforms/throttle/transform.rs:42-67
+    * — at most `threshold` events per `window` per key, GCRA). Batch analog:
+    * at most `threshold` rows per (key, time-bucket), earliest first.
+    */
+  def throttle(df: DataFrame, key: Column, ts: Column, bucket: String,
+               threshold: Int, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key, date_trunc(bucket, ts)).orderBy(ts, tieBreak)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= threshold).drop("_rn")
+  }
+
+  /** `aggregate` transform (reference: src/transforms/aggregate.rs:26-84 —
+    * metric aggregation over tumbling `interval_ms` windows with modes
+    * Sum/Latest/Count/Max/Min/Mean/Stdev). Batch analog: tumbling
+    * event-time windows via `date_trunc` + hash aggregation (partial
+    * map-side combine → one shuffle).
+    */
+  def aggregateTumbling(df: DataFrame, ts: Column, bucket: String,
+                        series: Seq[Column], value: Column): DataFrame =
+    df.groupBy((date_trunc(bucket, ts).as("window_start") +: series): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(value), 2).as("sum_v"),
+        round(avg(value), 4).as("avg_v"),
+        min(value).as("min_v"),
+        max(value).as("max_v"),
+        round(stddev_samp(value), 4).as("stddev_v"))
+
+  /** `reduce` transform (reference: src/transforms/reduce/config.rs:33-106 —
+    * group events by fields and merge with per-field strategies). The
+    * order-insensitive strategy subset (sum / min / max / count / first-by-ts /
+    * last-by-ts) as a single hash aggregate.
+    */
+  def reduceGroups(df: DataFrame, keys: Seq[Column], ts: Column, value: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_merged"),
+        min(ts).as("first_ts"),
+        max(ts).as("last_ts"),
+        round(sum(value), 2).as("sum_value"),
+        round(max(value), 2).as("max_value"))
+
+  /** `window` transform (reference: src/transforms/window/transform.rs:50-94
+    * — ring buffer of `before` events flushed with `after` following events
+    * when `flush_when` fires). Batch analog: a row-frame window over a
+    * deterministic per-key ordering — a row survives if any row within
+    * [-after, +before] of it (from the row's own perspective) matches the
+    * flush condition.
+    */
+  def contextWindow(df: DataFrame, key: Column, order: Seq[Column],
+                    flushWhen: Column, before: Int, after: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-after, before)
+    df.withColumn("_keep", max(flushWhen.cast("int")).over(w))
+      .filter(col("_keep") === 1).drop("_keep")
+  }
+
+  /** `incremental_to_absolute` (reference:
+    * src/transforms/incremental_to_absolute.rs:15-68 — running sum per
+    * metric series). Running-total window; per-key sequential, shuffled
+    * once on the series key.
+    */
+  def incrementalToAbsolute(df: DataFrame, series: Column, order: Seq[Column],
+                            value: Column): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("abs_value", round(sum(value).over(w), 2))
+  }
+
+  /** `tag_cardinality_limit` (reference:
+    * src/transforms/tag_cardinality_limit/mod.rs, value_limit default 500,
+    * config.rs:38-39; first-seen values win). Batch analog: rank tag values
+    * by first-seen timestamp and keep rows whose value is within the limit
+    * (`drop_event` action). The rank table is tiny (distinct tag values) —
+    * broadcast back, no second shuffle of the fact table.
+    */
+  def tagCardinalityLimit(df: DataFrame, tag: String, ts: Column, limit: Int): DataFrame = {
+    val firstSeen = df.groupBy(col(tag)).agg(min(ts).as("_fs"))
+    val ranked = firstSeen
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_fs"), col(tag))))
+      .filter(col("_rk") <= limit)
+      .select(col(tag))
+    df.join(broadcast(ranked), Seq(tag), "left_semi")
+  }
+
+  /** `log_to_metric` counter mode (reference:
+    * src/transforms/log_to_metric.rs:42-78 — derive Counter metrics with
+    * templated name/tags from log fields). Batch analog: a hash aggregate
+    * emitting rows in the metric schema (name, tags, kind, value).
+    */
+  def logToMetricCounter(df: DataFrame, metricName: String, tags: Seq[String]): DataFrame =
+    df.groupBy(tags.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("name", lit(metricName))
+      .withColumn("kind", lit("incremental"))
+
+  /** `metric_to_log` (reference: src/transforms/metric_to_log.rs:30-40 —
+    * serialize a metric into a structured log). Batch analog: reshape into
+    * the log schema with a message string; pure projection, no shuffle.
+    */
+  def metricToLog(df: DataFrame, name: Column, value: Column, ts: Column): DataFrame =
+    df.select(
+      concat(lit("metric "), name, lit("="), value.cast("string")).as("message"),
+      ts.as("timestamp"),
+      name.as("metric_name"),
+      value.as("metric_value"))
+}
