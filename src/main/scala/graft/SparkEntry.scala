@@ -18,18 +18,17 @@ import graft.route.Route
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Multi-match routed counters over events — the route→aggregate core of
-    * the reference pipeline (src/transforms/route.rs:42-56).
+  /** Flagship query; driver smoke-checks rows>0. The full north-star
+    * dataflow — grok parse → broadcast enrich → VRL-style remap → multi-match
+    * route → per-sink counters — over the deterministic tokenized-sequence
+    * generator (BASELINE.json north_star), sized for a smoke check.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val sfDir = "/root/testdata/sf0.001"
-    val ev = Tables.events(spark, sfDir)
-    val routed = Route.routedUnion(ev, Seq(
-      "hot" -> (col("event_type") === "error"),
-      "big" -> (col("value") >= 180),
-      "signup" -> (col("event_type") === "signup")))
-    routed.groupBy("sink").agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    import graft.core.{Gen, GenConfig}
+    import graft.pipeline.TokenPipeline
+    TokenPipeline.countersOnly(
+      Gen.tokenseq(spark, GenConfig(rows = 10000, parts = 8)).toDF(),
+      Gen.sourceAttrs(spark))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -156,6 +155,25 @@ object SparkEntry {
       Tables.events(s, dir)
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k_re"))
+    }),
+
+    // ---- north-star pipeline over the deterministic generator ----
+    // (no SQL oracle: input is synthesized, not in sfDir — verified instead
+    //  against the single-threaded Scala oracle in PipelineSpec)
+    "p_pipeline_counters" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.pipeline.TokenPipeline.countersOnly(
+        Gen.tokenseq(s, GenConfig(rows = 50000, parts = 16)).toDF(),
+        Gen.sourceAttrs(s))
+    }),
+    "p_pipeline_parse" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.parse.Grok.parse(
+        Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF(),
+        col("doc_id"), graft.pipeline.TokenPipeline.DocIdGrok)
+        .filter(col("_parse_ok"))
+        .select(col("doc_id"), col("src_tag"), col("tenant"), col("shard"),
+          col("date_str"), col("seq"))
     })
   )
 

@@ -1,0 +1,55 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment-table lookup stage (reference: lib/enrichment/src/lib.rs:50-88
+  * — `find_table_row` with AND-ed Equals conditions over an indexed small
+  * table; exposed to VRL as `get_enrichment_table_record`).
+  *
+  * Spark-first mapping: a broadcast hash join. The lookup table is small by
+  * construction (it is an operator config artifact, not data), so the join
+  * never shuffles the fact table — at 100 TB this is the difference between
+  * a map-side join and a catastrophic sort-merge.
+  */
+object Enrich {
+
+  /** Left-join enrichment. Rows with no lookup match keep null attributes
+    * (the VRL caller decides; `get_enrichment_table_record` errors on
+    * missing rows — see [[strict]]).
+    */
+  def lookup(df: DataFrame, table: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(broadcast(table), keys, "left")
+
+  /** Strict enrichment mirroring `find_table_row`'s exactly-one-row
+    * contract (lib/enrichment/src/lib.rs:54-60): rows that miss the table
+    * are diverted to the dropped lane with a reason, like remap's
+    * `reroute_dropped` (src/transforms/remap.rs:149-153).
+    *
+    * Returns (enriched, dropped). Both are views over ONE broadcast-join
+    * plan — Spark evaluates the join once per consumed branch; callers that
+    * consume both should persist upstream or take the `missFlag` column
+    * route.
+    */
+  def strict(df: DataFrame, table: DataFrame, keys: Seq[String],
+             probeCol: String): (DataFrame, DataFrame) = {
+    val joined = lookup(df, table, keys)
+    val ok = joined.filter(col(probeCol).isNotNull)
+    val dropped = joined.filter(col(probeCol).isNull)
+      .select((df.columns.map(col) :+
+        lit("enrich_miss").as("drop_reason") :+
+        lit("enrich").as("component_id")): _*)
+    (ok, dropped)
+  }
+
+  /** Date-range enrichment (reference `BetweenDates` condition,
+    * lib/enrichment/src/lib.rs:23-41): equality keys plus ts ∈ [from, to).
+    * Still a broadcast join — the range predicate rides along as a join
+    * condition.
+    */
+  def lookupBetween(df: DataFrame, table: DataFrame, keys: Seq[String],
+                    ts: Column, from: Column, to: Column): DataFrame = {
+    val cond = keys.map(k => df(k) === table(k)).reduce(_ && _) && ts >= from && ts < to
+    keys.foldLeft(df.join(broadcast(table), cond, "left"))((d, k) => d.drop(table(k)))
+  }
+}

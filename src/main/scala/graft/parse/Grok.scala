@@ -1,0 +1,100 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grok-pattern → regex compiler (VRL `parse_grok`/`parse_groks`,
+  * SURVEY.md §2.5; reference wiring src/transforms/remap.rs:219-224).
+  *
+  * A grok pattern is a readable alias layer over regex:
+  * `%{WORD:src_tag}/%{WORD:tenant}/%{INT:shard:int}` compiles to one
+  * anchored regex with one capture group per named field. The compiler is
+  * pure Scala (no Catalyst internals); extraction is expressed with
+  * codegen'd `regexp_extract` columns so the parse stage stays inside
+  * whole-stage codegen.
+  *
+  * Pattern library: the common public grok idioms (a subset — the
+  * reference delegates to the `grok` crate's full library).
+  */
+object Grok {
+
+  /** name → (regex fragment, default cast). */
+  val Patterns: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+",
+    "POSINT" -> "\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "HOSTNAME" -> "[A-Za-z0-9._-]+",
+    "USERNAME" -> "[A-Za-z0-9._-]+",
+    "UUID" -> "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
+    "LOGLEVEL" -> "(?i:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)",
+    "QS" -> "\"[^\"]*\"")
+
+  /** One extracted field: name, 1-based capture group, SQL cast type (or null). */
+  final case class Field(name: String, group: Int, castTo: Option[String])
+
+  final case class Compiled(regex: String, fields: Seq[Field]) {
+    lazy val pattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(regex)
+    /** Pure-Scala extraction — used by the oracle. Returns null on no-match. */
+    def extract(s: String): Option[Map[String, String]] = {
+      val m = pattern.matcher(s)
+      if (!m.matches()) None
+      else Some(fields.map(f => f.name -> m.group(f.group)).toMap)
+    }
+  }
+
+  private val Ref = "%\\{(\\w+)(?::(\\w+))?(?::(\\w+))?\\}".r
+
+  /** Compile `%{PATTERN:field[:type]}` syntax into an anchored regex.
+    * Literal text between references is regex-quoted. Unnamed references
+    * (`%{INT}`) match without capturing.
+    */
+  def compile(grokPattern: String): Compiled = {
+    val sb = new StringBuilder("^")
+    val fields = scala.collection.mutable.ArrayBuffer.empty[Field]
+    var group = 0
+    var last = 0
+    for (m <- Ref.findAllMatchIn(grokPattern)) {
+      sb.append(java.util.regex.Pattern.quote(grokPattern.substring(last, m.start)))
+      val pat = Patterns.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
+      Option(m.group(2)) match {
+        case Some(fieldName) =>
+          group += 1
+          sb.append("(").append(pat).append(")")
+          fields += Field(fieldName, group, Option(m.group(3)))
+        case None =>
+          sb.append("(?:").append(pat).append(")")
+      }
+      last = m.end
+    }
+    sb.append(java.util.regex.Pattern.quote(grokPattern.substring(last))).append("$")
+    Compiled(sb.toString, fields.toSeq)
+  }
+
+  private def castCol(c: Column, t: Option[String]): Column = t match {
+    case Some("int") => c.cast("long")
+    case Some("float") => c.cast("double")
+    case Some(other) => c.cast(other)
+    case None => c
+  }
+
+  /** Apply a compiled pattern to `src`, adding one column per field plus a
+    * `_parse_ok` boolean (the fallible-parse lane — VRL errors route to the
+    * dropped port, src/transforms/remap.rs:149-153). Stays fully codegen'd.
+    */
+  def parse(df: DataFrame, src: Column, compiled: Compiled): DataFrame = {
+    val withOk = df.withColumn("_parse_ok", src.rlike(compiled.regex))
+    compiled.fields.foldLeft(withOk) { (d, f) =>
+      d.withColumn(f.name,
+        when(col("_parse_ok"),
+          castCol(regexp_extract(src, compiled.regex, f.group), f.castTo)))
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.enrich.Enrich
+import graft.parse.Grok
+import graft.remap.Remap
+import graft.route.Route
+import graft.table.SnapshotTable
+
+/** The north-star pipeline (BASELINE.json): parse → enrich → remap →
+  * route → salted partitioned sink → aggregate, over the tokenized-sequence
+  * table. Every stage is declarative Catalyst; the only imperative pieces
+  * are the snapshot commit and the metrics collection.
+  */
+object TokenPipeline {
+
+  /** Grok pattern for the doc_id metadata (FIXTURES.md §1). */
+  val DocIdPattern = "%{WORD:src_tag}/%{WORD:tenant}/%{INT:shard:int}/%{INT:date_str}/%{INT:seq:int}"
+  lazy val DocIdGrok: Grok.Compiled = Grok.compile(DocIdPattern)
+
+  /** Route table (FIXTURES.md §3). `sink_long` overlaps `sink_hot` —
+    * the multi-match case of route.rs:42-56.
+    */
+  def routes(longMin: Int): Seq[(String, Column)] = Seq(
+    "sink_hot" -> (col("source") === "web"),
+    "sink_long" -> (col("n_tok") >= longMin),
+    "sink_pii" -> (col("pii") && col("priority") >= 2))
+
+  /** VRL-abort condition (deterministic, field-based — see SURVEY.md §7
+    * risk 1 on order-free semantics).
+    */
+  val AbortModulus = 997L
+
+  final case class Config(sinksRoot: String, jobId: String,
+                          saltBuckets: Int = 8, longMin: Int = 1024)
+
+  final case class Result(
+      counters: DataFrame,            // (sink, source, row_count, sum_n_tok) from COMMITTED data
+      droppedCounts: DataFrame,       // (drop_reason, n)
+      lineage: DataFrame,             // (stage, partition_id, rows)
+      stageMetrics: Map[String, Long],// rows per stage (observe() counters)
+      sinks: Map[String, SnapshotTable])
+
+  /** The pure dataflow (parse → enrich → remap → route flags), shared by
+    * the committed-run path and the in-memory flagship query. Returns
+    * (flagged main lane, dropped lane).
+    */
+  def dataflow(input: DataFrame, attrs: DataFrame, longMin: Int): (DataFrame, DataFrame) = {
+    // ---- parse (vectorized grok over doc_id; remap.rs parse family) ----
+    val parsed = Grok.parse(input, col("doc_id"), DocIdGrok)
+    val parseOk = parsed.filter(col("_parse_ok")).drop("_parse_ok")
+    val parseDropped = parsed.filter(!col("_parse_ok"))
+      .select(col("doc_id"), col("source"), lit("parse_error").as("drop_reason"),
+        lit("parse").as("component_id"))
+
+    // ---- enrich (broadcast lookup, strict; lib/enrichment find_table_row) ----
+    val (enriched, enrichDropped0) = Enrich.strict(parseOk, attrs, Seq("source"), "region")
+    val enrichDropped = enrichDropped0.select(col("doc_id"), col("source"),
+      col("drop_reason"), col("component_id"))
+
+    // ---- remap (VRL program as Catalyst when-chains) ----
+    val remap = Remap()
+      .set("token_bucket",
+        when(col("n_tok") >= longMin, "long")
+          .when(col("n_tok") >= 256, "mid")
+          .otherwise("short"))
+      .set("tok_sum", aggregate(col("tokens"), lit(0L), (acc, x) => acc + x))
+      .set("quota_frac", col("n_tok").cast("double") / col("quota_toks"))
+      .abortWhen(pmod(col("seq"), lit(AbortModulus)) === 0, "vrl_abort")
+    val Remap.RemapResult(remapped, remapDropped0) = remap.run(enriched)
+    val remapDropped = remapDropped0.select(col("doc_id"), col("source"),
+      col("drop_reason"), col("component_id"))
+
+    // ---- route (multi-match flags; route.rs:42-56) ----
+    val flagged = Route.flags(remapped, routes(longMin))
+    val dropped = parseDropped.unionByName(enrichDropped).unionByName(remapDropped)
+    (flagged, dropped)
+  }
+
+  /** In-memory flagship: routed per-sink counters without sink IO
+    * (the aggregate stage; aggregate.rs / component_sent_events_total).
+    */
+  def countersOnly(input: DataFrame, attrs: DataFrame, longMin: Int = 1024): DataFrame = {
+    val routed = {
+      val (flagged, _) = dataflow(input, attrs, longMin)
+      // single-pass exploded form — one shuffle on (sink, source)
+      val names = routes(longMin).map(_._1) :+ Route.Unmatched
+      val arms = names.map(n => when(col(s"_route_$n"), lit(n)).otherwise(lit(null: String)))
+      flagged.withColumn("sink", explode(array_compact(array(arms: _*))))
+    }
+    routed.groupBy(col("sink"), col("source"))
+      .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+  }
+
+  /** Full committed run: writes every sink as a snapshot-committed,
+    * source-partitioned, salt-repartitioned Parquet table; counters are
+    * derived from committed data only (exactly-once accounting,
+    * SURVEY.md §7 risk 3). Restart-safe: per-sink jobIds make re-runs
+    * skip already-committed sinks.
+    */
+  def run(spark: SparkSession, input: DataFrame, attrs: DataFrame, cfg: Config): Result = {
+    val (flagged0, dropped) = dataflow(input, attrs, cfg.longMin)
+
+    // Stage row-count metrics via observe() — zero-shuffle CollectMetrics,
+    // the analog of component_sent_events_total (docs/specs/component.md:223).
+    val flagged = flagged0
+      .observe("route_in", count(lit(1)).as("rows"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // materialize cache (resolves observe metrics) + per-partition lineage
+    val lineage = flagged.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("stage", lit("route_in"))
+      .select("stage", "partition_id", "rows")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lineage.count()
+
+    val sinkNames = routes(cfg.longMin).map(_._1) :+ Route.Unmatched
+    val sinks = (sinkNames :+ "dropped").map { name =>
+      name -> new SnapshotTable(s"${cfg.sinksRoot}/$name")
+    }.toMap
+
+    // per-sink salted write: repartition on (source, salt) defuses the hot
+    // `web` partition; salt shapes file layout only, never row content
+    sinkNames.foreach { name =>
+      val view = Route.sinkView(flagged, name)
+        .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)))
+        .repartition(col("source"), col("_salt"))
+        .drop("_salt")
+      sinks(name).append(view, s"${cfg.jobId}-$name", partitionBy = Seq("source"))
+    }
+    sinks("dropped").append(dropped, s"${cfg.jobId}-dropped", partitionBy = Seq("drop_reason"))
+
+    // counters from committed snapshots only
+    val counters = sinkNames.flatMap { name =>
+      sinks(name).read(spark).map(
+        _.groupBy(col("source")).agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+          .withColumn("sink", lit(name))
+          .select("sink", "source", "row_count", "sum_n_tok"))
+    }.reduce(_ unionByName _)
+
+    val droppedCounts = sinks("dropped").read(spark)
+      .map(_.groupBy(col("drop_reason")).agg(count(lit(1)).as("n")))
+      .getOrElse(spark.emptyDataFrame)
+
+    val metrics = Map("route_in" ->
+      flagged.queryExecution.observedMetrics.get("route_in").map(_.getLong(0)).getOrElse(-1L))
+
+    flagged.unpersist()
+    Result(counters, droppedCounts, lineage, metrics, sinks)
+  }
+}

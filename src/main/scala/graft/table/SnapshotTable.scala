@@ -1,0 +1,122 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot-committed Parquet table (SURVEY.md §7).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/snap-<version>-<jobId>/[source=.../]part-*.parquet
+  *   <root>/_snapshots/v<version>.json     (manifest)
+  *   <root>/_snapshots/CURRENT             (atomic pointer, rename-committed)
+  * }}}
+  *
+  * Commit protocol: data files are written first, then the manifest, then
+  * the CURRENT pointer is flipped by an atomic rename — readers only ever
+  * see fully committed snapshots. Restart semantics mirror the reference's
+  * source checkpointing (`checkpoints.json`,
+  * lib/file-source-common/src/checkpointer.rs:21,181-188) and its
+  * end-to-end-ack gating (lib/vector-common/src/finalization.rs:284-362):
+  * an `append` is keyed by `jobId`; re-running a job whose jobId is already
+  * committed is a no-op, so a killed-and-restarted pipeline resumes at the
+  * last committed snapshot with zero duplicate rows.
+  *
+  * In production this trait swaps for real Iceberg (no Iceberg jars in the
+  * sandbox); the commit semantics are the same: optimistic snapshot +
+  * atomic pointer swap.
+  */
+final class SnapshotTable(val root: String) {
+  private val snapsDir: Path = Paths.get(root, "_snapshots")
+  private val currentFile: Path = snapsDir.resolve("CURRENT")
+
+  final case class Manifest(version: Int, jobId: String, dataDir: String,
+                            committedAtMs: Long)
+
+  private def ensureDirs(): Unit = {
+    Files.createDirectories(snapsDir)
+    Files.createDirectories(Paths.get(root, "data"))
+  }
+
+  def currentVersion: Int =
+    if (Files.exists(currentFile))
+      new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8).trim.toInt
+    else 0
+
+  private def manifestPath(v: Int): Path = snapsDir.resolve(f"v$v%05d.json")
+
+  private def writeJson(m: Manifest): Unit = {
+    val json =
+      s"""{"version":${m.version},"jobId":"${m.jobId}","dataDir":"${m.dataDir}","committedAtMs":${m.committedAtMs}}"""
+    val tmp = snapsDir.resolve(s".v${m.version}.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val VField = """"version":(\d+)""".r.unanchored
+  private val JField = """"jobId":"([^"]*)"""".r.unanchored
+  private val DField = """"dataDir":"([^"]*)"""".r.unanchored
+
+  private def readManifest(v: Int): Manifest = {
+    val s = new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
+    val ver = VField.findFirstMatchIn(s).get.group(1).toInt
+    val job = JField.findFirstMatchIn(s).get.group(1)
+    val dir = DField.findFirstMatchIn(s).get.group(1)
+    Manifest(ver, job, dir, 0L)
+  }
+
+  /** Manifests of all committed snapshots, oldest first. */
+  def snapshots: Seq[Manifest] = (1 to currentVersion).map(readManifest)
+
+  def committedJobIds: Set[String] = snapshots.map(_.jobId).toSet
+
+  /** Append `df` as a new snapshot, committed atomically, idempotent on
+    * `jobId`. Returns false (no write) if `jobId` was already committed.
+    * `partitionBy` columns shape the file layout only.
+    */
+  def append(df: DataFrame, jobId: String, partitionBy: Seq[String] = Nil): Boolean = {
+    ensureDirs()
+    if (committedJobIds.contains(jobId)) return false
+    val v = currentVersion + 1
+    val dir = s"$root/data/" + f"snap-$v%05d-$jobId"
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(dir)
+    writeJson(Manifest(v, jobId, dir, System.currentTimeMillis()))
+    // atomic pointer flip = the commit point
+    val tmp = snapsDir.resolve(".CURRENT.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+
+  /** Read the table as of the CURRENT snapshot (union of all committed
+    * snapshot data dirs; uncommitted/orphaned dirs are invisible).
+    */
+  def read(spark: SparkSession): Option[DataFrame] = {
+    // an empty df commit yields a dir with only _SUCCESS — no schema to infer
+    def hasParquet(p: Path): Boolean =
+      Files.walk(p).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    val dirs = snapshots.map(_.dataDir).filter(d => hasParquet(Paths.get(d)))
+    // per-dir reads unioned: each snapshot dir is its own partition-discovery
+    // root (a multi-path read would see "conflicting directory structures")
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
+  /** Drop everything (test helper). */
+  def destroy(): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    val r = Paths.get(root)
+    if (Files.exists(r)) rm(r)
+  }
+}

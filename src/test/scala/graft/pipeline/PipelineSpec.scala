@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Gen, GenConfig}
+import graft.table.SnapshotTable
+
+/** End-to-end verification of the north-star requirements (BASELINE.json):
+  * per-sink aggregate counts, row-level token-array equality vs the oracle,
+  * dropped-lane accounting, restart idempotence, salt/parallelism
+  * invariance.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(rows = 20000, maxTok = 2048, parts = 8)
+  private lazy val oracle = Oracle.runGenerated(cfg)
+  private def tmpRoot(): String = Files.createTempDirectory("sinks").toString
+
+  private def sparkCounters(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+
+  test("flagship counters (no IO) match oracle exactly") {
+    val counters = TokenPipeline.countersOnly(
+      Gen.tokenseq(spark, cfg).toDF(), Gen.sourceAttrs(spark))
+      .select("sink", "source", "row_count", "sum_n_tok")
+    assert(sparkCounters(counters) == oracle.counters)
+  }
+
+  test("committed run: per-sink counters + dropped lanes match oracle") {
+    val root = tmpRoot()
+    val res = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-a"))
+    assert(sparkCounters(res.counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == oracle.counters)
+    val droppedGot = res.droppedCounts.as[(String, Long)].collect().toMap
+    assert(droppedGot == oracle.droppedByReason)
+    // lineage: total rows across partitions == observed route_in metric
+    val lineageTotal = res.lineage.agg(sum("rows")).as[Long].head()
+    assert(lineageTotal == res.stageMetrics("route_in"))
+  }
+
+  test("routed rows: token-array equality per sink (north-star invariant)") {
+    val root = tmpRoot()
+    val res = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-b"))
+    for (sink <- Seq("sink_hot", "sink_long", "sink_pii", "_unmatched")) {
+      val got = res.sinks(sink).read(spark).get
+        .select("doc_id", "tokens", "n_tok", "source")
+        .as[(String, Array[Int], Int, String)]
+        .collect().sortBy(_._1)
+        .map { case (d, t, n, s) => Oracle.RoutedRow(d, t.toVector, n, s) }
+        .toVector
+      assert(got == oracle.routed.getOrElse(sink, Vector.empty), s"sink $sink")
+    }
+  }
+
+  test("restart: kill between sink commits → re-run → no duplicates") {
+    val root = tmpRoot()
+    // simulate a partial run that committed only sink_hot, then crashed
+    val (flagged, _) = TokenPipeline.dataflow(
+      Gen.tokenseq(spark, cfg).toDF(), Gen.sourceAttrs(spark), 1024)
+    val hotOnly = new SnapshotTable(s"$root/sink_hot")
+    hotOnly.append(graft.route.Route.sinkView(flagged, "sink_hot"),
+      "job-c-sink_hot", partitionBy = Seq("source"))
+    // full re-run with the same jobId resumes: sink_hot skipped, others written
+    val res = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-c"))
+    assert(res.sinks("sink_hot").currentVersion == 1) // not re-committed
+    assert(sparkCounters(res.counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == oracle.counters)
+    // and a full second re-run is a complete no-op
+    val res2 = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-c"))
+    assert(sparkCounters(res2.counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == oracle.counters)
+  }
+
+  test("salt invariance: salting changes layout only, never counts") {
+    val a = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(tmpRoot(), "job-s1", saltBuckets = 1))
+    val b = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(tmpRoot(), "job-s2", saltBuckets = 16))
+    assert(sparkCounters(a.counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == sparkCounters(b.counters.select("sink", "source", "row_count", "sum_n_tok")))
+  }
+
+  test("repartition invariance: generator content independent of parallelism") {
+    // bit_xor: order-independent, overflow-free content digest
+    def digest(parts: Int) = Gen.tokenseq(spark, cfg.copy(parts = parts)).toDF()
+      .agg(expr("bit_xor(xxhash64(doc_id, n_tok, source))"),
+        sum(aggregate(col("tokens"), lit(0L), (a, t) => a + t))).as[(Long, Long)].head()
+    assert(digest(2) == digest(32))
+  }
+
+  test("skew exists by construction (hot web source ~50%)") {
+    val dist = Gen.tokenseq(spark, cfg).toDF().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(dist("web").toDouble / cfg.rows > 0.45)
+    assert(dist.contains(Gen.GhostSource)) // enrich-miss lane is exercised
+  }
+}
