@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedupe
+import graft.sim.Similarity
+import graft.text.{Hashing, TextOps}
+
+/** Training-data curation queries (dedup / similarity / text analysis) with
+  * DuckDB twin SQL. The DuckDB side is *generated from the same Scala
+  * constants* (hash coefficients, stopword lists, hyperplane signs) as the
+  * Spark side, so the two dialects cannot drift apart.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - all hashes go through [[Hashing.h15]] (md5-prefix — identical in both
+  *    engines); never `xxhash64` in anything the oracle sees;
+  *  - float reductions are element-order left folds in double precision on
+  *    both sides (`aggregate` ↔ `list_reduce`), so sums are bit-identical;
+  *  - integer counts are cast to BIGINT on the Spark side to match DuckDB.
+  */
+object DataOpsQueries {
+
+  // ---------- DuckDB dialect fragments (kept beside their Spark twins) ----------
+
+  private def dH15(e: String) = s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+  private def dH31(e: String) = s"(${dH15(e)} % 2147483647)"
+
+  /** Left-fold double sum — DuckDB's guaranteed-sequential reduction, the
+    * twin of Spark `aggregate(_, 0.0, _ + _)`.
+    */
+  private def dFoldSum(listExpr: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  private val ShingleN = 3
+  private val MinHashK = 16
+  private val MinHashBands = 4
+
+  /** Shared CTE prefix: tokens → distinct 3-gram shingles → 31-bit shingle
+    * hashes → 16 minhash minima (s0..s15).
+    */
+  private def duckShingleCtes: String = {
+    val sigs = (0 until MinHashK).map { i =>
+      val a = Hashing.minHashA(i); val b = Hashing.minHashB(i)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Hashing.MinHashP})) AS s$i"
+    }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= $ShingleN
+       |  THEN list_transform(generate_series(1, len(tk)-${ShingleN - 1}),
+       |       j -> tk[j]||' '||tk[j+1]||' '||tk[j+2])
+       |  ELSE CAST([] AS VARCHAR[]) END) AS sh FROM tk),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${dH31("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, $sigs FROM hs)""".stripMargin
+  }
+
+  /** Band-hash SQL for band b over sig columns s{4b}..s{4b+3} — twin of
+    * [[Dedupe.bandHashes]].
+    */
+  private def duckBand(b: Int): String = {
+    val r = MinHashK / MinHashBands
+    val terms = (0 until r).map(i => s"s${b * r + i}*${31L * (i + 1)}").mkString(" + ")
+    s"(($terms) % ${Hashing.MinHashP})"
+  }
+
+  // ---------- hyperplane signs for embedding LSH (shared source of truth) ----------
+
+  /** JVM-side twin of [[Similarity]]'s planeSign: parity of h15("j:i"). */
+  def planeSignJvm(j: Int, i: Int): Double = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val hex = mdig.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  private val EmbedDim = 64
+  private val EmbedBits = 4
+
+  private def duckSignList(j: Int): String =
+    (0 until EmbedDim).map(i => planeSignJvm(j, i).toString).mkString("[", ",", "]")
+
+  private def duckBucketExpr(vec: String): String =
+    (0 until EmbedBits).map { j =>
+      val proj = dFoldSum(
+        s"list_transform(generate_series(1,$EmbedDim), i -> $vec[i]::DOUBLE * (${duckSignList(j)})[i])")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def duckDot(a: String, b: String): String =
+    dFoldSum(s"list_transform(generate_series(1,$EmbedDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
+
+  private def duckCos(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  // ---------- stopwords ----------
+
+  private def duckIn(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  // ======================= queries =======================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- token counting: whitespace + BPE-ish regex (TextOps) ----
+    "t_text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.wordCount(col("text")).cast("long").as("n_words"),
+        TextOps.bpeCount(col("text")).cast("long").as("n_bpe"))
+    }),
+
+    // ---- quality scoring (Gopher-style component metrics + keep flag) ----
+    "t_text_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val qc = TextOps.qualityColumns(col("text"))
+      d.select(col("doc_id") +: qc.map { case (n, c) => c.as(n) } :+
+        TextOps.qualityKeep(col("text")).as("keep"): _*)
+    }),
+
+    // ---- language-ID (stopword-profile argmax heuristic) ----
+    "t_text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+    }),
+
+    // ---- document fingerprint (rolling hash over token hashes) ----
+    "t_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- exact dedup (hash-groupBy, smallest-id representative) ----
+    "d_dedupe_exact" -> ((s, dir) => {
+      Dedupe.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("text_hash"))
+    }),
+
+    // ---- MinHash signatures: per-doc LSH band hashes ----
+    "d_minhash_bands" -> ((s, dir) => {
+      val sigT = Dedupe.minhashSigTable(Tables.documents(s, dir),
+        col("text"), col("doc_id"), ShingleN, MinHashK)
+      val bands = Dedupe.bandHashes((0 until MinHashK).map(i => col(s"s$i")), MinHashBands)
+      sigT.select(col("id").as("doc_id") +:
+        bands.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
+    }),
+
+    // ---- MinHash+LSH near-dup pairs, Jaccard-verified ----
+    "d_minhash_pairs" -> ((s, dir) => {
+      Dedupe.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"),
+        n = ShingleN, k = MinHashK, bands = MinHashBands, threshold = 0.2)
+    }),
+
+    // ---- SimHash signature ----
+    "d_simhash" -> ((s, dir) => {
+      Dedupe.simhashTable(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("sim"))
+    }),
+
+    // ---- SimHash near-dup pairs (hamming <= 3 via 4-band pigeonhole) ----
+    "d_simhash_pairs" -> ((s, dir) => {
+      Dedupe.simhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"), maxDist = 3)
+    }),
+
+    // ---- embedding cosine near-dups within LSH sign buckets ----
+    "d_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDups(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.3, nBits = EmbedBits)
+    }),
+
+    // ---- brute-force cosine top-k ANN (exact baseline) ----
+    "d_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), k = 5)
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; recall vs brute force in spec — no SQL oracle) ----
+    "d_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), k = 5, nBits = 8)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "t_text_tokens" ->
+      s"""SELECT doc_id, len(string_split(text,' ')) AS n_words,
+         | len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS n_bpe
+         |FROM documents""".stripMargin,
+
+    "t_text_quality" -> {
+      val allStops = duckIn(TextOps.StopwordProfiles.flatMap(_._2))
+      s"""SELECT doc_id, len(tk) AS n_words,
+         | round(list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE, 4) AS mean_word_len,
+         | round(len(list_filter(tk, t -> t IN $allStops))::DOUBLE / len(tk)::DOUBLE, 4) AS stopword_ratio,
+         | round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) AS symbol_ratio,
+         | (len(tk) BETWEEN 10 AND 100000)
+         |   AND (round(list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE, 4) BETWEEN 2 AND 12)
+         |   AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2) AS keep
+         |FROM (SELECT doc_id, text, string_split(text,' ') AS tk FROM documents)""".stripMargin
+    },
+
+    "t_text_langid" -> {
+      val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>
+        s"len(list_filter(tk, t -> t IN ${duckIn(prof)})) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.StopwordProfiles.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val pick = langs.map(l => s"WHEN h_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, lang, (CASE $pick ELSE 'und' END) AS pred_lang
+         |FROM (SELECT doc_id, lang, $hits
+         |      FROM (SELECT doc_id, lang, string_split(text,' ') AS tk FROM documents))""".stripMargin
+    },
+
+    "t_text_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform(string_split(text,' '), t -> ${dH15("t")} % 1000003)),
+         |   (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+         |FROM documents""".stripMargin,
+
+    "d_dedupe_exact" ->
+      s"""SELECT doc_id, ${dH15("text")} AS text_hash FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+
+    "d_minhash_bands" -> {
+      val bands = (0 until MinHashBands).map(b => s"${duckBand(b)} AS b$b").mkString(", ")
+      s"$duckShingleCtes\nSELECT doc_id, $bands FROM sig"
+    },
+
+    "d_minhash_pairs" -> {
+      val bandRows = (0 until MinHashBands)
+        .map(b => s"SELECT doc_id, $b AS band, ${duckBand(b)} AS band_hash FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""$duckShingleCtes,
+         |bands AS ($bandRows),
+         |capped AS (SELECT doc_id, band, band_hash FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS bn FROM bands) WHERE bn <= 1000),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+         |  FROM capped l JOIN capped r ON l.band = r.band AND l.band_hash = r.band_hash
+         |  AND l.doc_id < r.doc_id)
+         |SELECT id_l, id_r, jaccard FROM (
+         |  SELECT id_l, id_r,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |          len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+         |  FROM cand JOIN sh a ON a.doc_id = id_l JOIN sh b ON b.doc_id = id_r)
+         |WHERE jaccard >= 0.2""".stripMargin
+    },
+
+    "d_simhash" ->
+      s"""SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+         |  CASE WHEN list_sum(list_transform(hs, x ->
+         |         CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
+         |FROM (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')),
+         |        t -> ${dH15("t")}) AS hs FROM documents)""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""WITH sims AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
+         |  FROM (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')),
+         |          t -> ${dH15("t")}) AS hs FROM documents)),
+         |bands AS (
+         |  SELECT doc_id, sim, b AS band, (sim >> (8*b)) & 255 AS band_hash
+         |  FROM sims, unnest([0,1,2,3]) AS t(b))
+         |SELECT id_l, id_r, hamming FROM (
+         |  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         |    CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |   AND l.doc_id < r.doc_id)
+         |WHERE hamming <= 3""".stripMargin,
+
+    "d_embed_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${duckBucketExpr("embedding")} AS bucket
+         |           FROM embeddings)
+         |SELECT id_l, id_r, cos FROM (
+         |  SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+         |    ${duckCos("l.embedding", "r.embedding")} AS cos
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |WHERE cos >= 0.3""".stripMargin,
+
+    "d_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_v FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nbr_id, embedding AS nbr_v FROM embeddings),
+         |scored AS (SELECT query_id, nbr_id, ${duckCos("q_v", "nbr_v")} AS cos
+         |           FROM q, c WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+  )
+}

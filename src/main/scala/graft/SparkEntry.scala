@@ -31,7 +31,13 @@ object SparkEntry {
       Gen.sourceAttrs(spark))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    DataOpsQueries.queries ++ coreQueries
+
+  def oracleSql: Map[String, String] =
+    DataOpsQueries.oracleSql ++ coreOracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregate core sanity (TPC-H q1-style pricing summary) ----
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -177,7 +183,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,202 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.{Hashing, TextOps}
+
+/** Deduplication operators for training-data curation over a `documents`
+  * table — the analog of the reference's `dedupe` transform
+  * (src/transforms/dedupe/transform.rs:47-85) scaled from "LRU cache of
+  * 5000 events" to "10^12-row corpus": exact content dedup, MinHash+LSH
+  * near-dup, SimHash near-dup, and n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Signatures (md5 / minhash / simhash) are narrow per-row maps — no
+  *    shuffle, codegen'd, linear scan.
+  *  - Candidate generation is a self-join on band buckets: shuffle keyed by
+  *    `(band, signature)`, so only same-bucket rows ever meet. Never an
+  *    all-pairs cross join.
+  *  - Verification (true Jaccard / hamming) runs only on the candidate
+  *    pairs — re-joined to the signature table by id, not carried through
+  *    the bucket shuffle.
+  *  - Oversized buckets (degenerate content, e.g. empty docs) are capped by
+  *    `maxBucket` to bound the quadratic blowup of a single hot bucket —
+  *    same role as AQE skew-join splitting, but semantic: a bucket with
+  *    thousands of members is a duplicate *cluster*, and pairing it fully
+  *    is wasted work once a representative is chosen.
+  */
+object Dedupe {
+
+  /** Exact dedup: canonical content hash, keep the smallest id per hash
+    * (deterministic representative). One hash-aggregate shuffle on the
+    * 60-bit content hash; survivors re-joined by (hash, id) — both sides
+    * partial-aggregated map-side.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val hashed = df.withColumn("text_hash", Hashing.h15(text))
+      .withColumn("_id", id)
+    val reps = hashed.groupBy(col("text_hash")).agg(min(col("_id")).as("_id"))
+    hashed.join(reps, Seq("text_hash", "_id"), "left_semi").drop("_id")
+  }
+
+  /** Distinct word n-gram shingles of a text column (narrow map).
+    * Guarded: Spark `sequence(1, x)` *descends* for x < 1, so short docs
+    * explicitly yield an empty shingle set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.words(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          j => concat_ws(" ", slice(toks, j, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** MinHash signature: k permutation-minima over the 31-bit shingle
+    * hashes. Pure column program — k folds over the shingle array.
+    * NOTE: prefer [[minhashSigTable]] on big data — as a single column
+    * expression Catalyst inlines the shingle-hash subtree into every
+    * permutation, recomputing md5 k× per shingle.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Seq[Column] = {
+    val hs = transform(shingleCol, s => Hashing.h31(s))
+    (0 until k).map(i => array_min(transform(hs, h => Hashing.perm(i, h))))
+  }
+
+  /** Scalable MinHash signature table `(id, s0..s{k-1})`: explode shingles,
+    * hash each ONCE, then k `min` aggregates — partial map-side combine, one
+    * shuffle on id, no repeated md5 work. This is the 100 TB shape.
+    * `explode_outer` keeps shingle-less docs (their signature is all-null,
+    * matching `array_min([]) = null` of the columnar variant).
+    */
+  def minhashSigTable(df: DataFrame, text: Column, id: Column,
+                      n: Int, k: Int): DataFrame =
+    df.select(id.as("id"), explode_outer(shingles(text, n)).as("s"))
+      .select(col("id"), Hashing.h31(col("s")).as("h"))
+      .groupBy(col("id"))
+      .agg(min(Hashing.perm(0, col("h"))).as("s0"),
+        (1 until k).map(i => min(Hashing.perm(i, col("h"))).as(s"s$i")): _*)
+
+  /** Band hash: combine `r` consecutive signature minima into one bucket
+    * key per band (sum mod p — engine-portable, adequate mixing since the
+    * minima are already uniform).
+    */
+  def bandHashes(sig: Seq[Column], bands: Int): Seq[Column] = {
+    require(sig.length % bands == 0)
+    val r = sig.length / bands
+    (0 until bands).map { b =>
+      val slice = sig.slice(b * r, (b + 1) * r)
+      pmod(slice.zipWithIndex.map { case (c, i) => c * lit(31L * (i + 1)) }
+        .reduce(_ + _), lit(Hashing.MinHashP))
+    }
+  }
+
+  /** Per-doc MinHash band table: `(id, band, band_hash)` — the LSH index.
+    * At cluster scale this is the thing you'd persist bucketed by
+    * `(band, band_hash)` so incremental dedup joins are shuffle-free.
+    */
+  def minhashBands(df: DataFrame, text: Column, id: Column,
+                   n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sigTable = minhashSigTable(df, text, id, n, k)
+    val bh = bandHashes((0 until k).map(i => col(s"s$i")), bands)
+    val bandStructs = bh.zipWithIndex.map { case (c, b) =>
+      struct(lit(b).as("band"), c.as("band_hash"))
+    }
+    sigTable.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** LSH candidate pairs: ids sharing at least one band bucket. The
+    * self-join shuffles only on `(band, band_hash)`; `maxBucket` caps
+    * degenerate buckets (see scale notes above).
+    */
+  def minhashCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val counted = bandsDf
+      .withColumn("_bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val l = counted.select(col("band"), col("band_hash"), col("id").as("id_l"))
+    val r = counted.select(col("band"), col("band_hash"), col("id").as("id_r"))
+    l.join(r, Seq("band", "band_hash")).filter(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r")).distinct()
+  }
+
+  /** Verify candidate pairs with true n-gram Jaccard ≥ threshold.
+    * Shingle sets are fetched by id (two hash joins) — candidates are a
+    * tiny fraction of the corpus, so this is cheap; never carried through
+    * the LSH shuffle.
+    */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, text: Column,
+                    id: Column, n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+    val j = candidates
+      .join(sh.select(col("id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(sh.select(col("id").as("id_r"), col("sh").as("sh_r")), "id_r")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r"))).cast("double"), 6))
+    j.filter(col("jaccard") >= threshold).select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → band join → verify. */
+  def minhashNearDups(df: DataFrame, text: Column, id: Column,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame =
+    jaccardVerify(minhashCandidates(minhashBands(df, text, id, n, k, bands)),
+      df, text, id, n, threshold)
+
+  /** 32-bit SimHash over distinct word tokens: per bit, sign of the
+    * sum of ±1 votes from each token hash. 32 codegen'd folds — narrow map.
+    */
+  def simhash32(text: Column): Column = {
+    val toksD = array_distinct(TextOps.words(text))
+    val hs = transform(toksD, t => Hashing.h15(t))
+    (0 until 32).map { j =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Scalable SimHash table `(id, sim)`: explode distinct tokens, hash each
+    * ONCE, 32 conditional-sum aggregates (map-side combinable), recombine
+    * bits. Same result as [[simhash32]] without the k-fold md5 recompute.
+    */
+  def simhashTable(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val votes = (0 until 32).map { j =>
+      sum(when(col("h").isNull, 0L)
+        .when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    df.select(id.as("id"), explode_outer(array_distinct(TextOps.words(text))).as("t"))
+      .select(col("id"), Hashing.h15(col("t")).as("h"))
+      .groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via a
+    * 4×8-bit band join (pigeonhole: dist ≤ 3 ⇒ ≥ 1 of 4 bands equal —
+    * exact, not probabilistic, for maxDist ≤ 3).
+    */
+  def simhashNearDups(df: DataFrame, text: Column, id: Column,
+                      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole covers dist<=3")
+    val sigs = simhashTable(df, text, id)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L)).as("band_hash"))
+    }
+    val bandsDf = sigs.select(col("id"), col("sim"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val l = bandsDf.select(col("band"), col("band_hash"), col("id").as("id_l"), col("sim").as("sim_l"))
+    val r = bandsDf.select(col("band"), col("band_hash"), col("id").as("id_r"), col("sim").as("sim_r"))
+    l.join(r, Seq("band", "band_hash")).filter(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("sim_l").bitwiseXOR(col("sim_r"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.Hashing
+
+/** Embedding similarity operators over an `embeddings` table
+  * `(vec_id, embedding: array<float>, label)` — approximate-nearest-
+  * neighbor search and cosine near-duplicate detection for training-data
+  * curation.
+  *
+  * Scale design:
+  *  - Brute-force top-k is the correctness baseline: broadcast the (small)
+  *    query set against the full corpus — one narrow pass over the big
+  *    side, partial top-k per partition via window rank after a shuffle
+  *    keyed by query id. Exact, O(|Q|·N) — fine for |Q| in the thousands.
+  *  - The scale path is random-hyperplane LSH: each vector maps to a
+  *    `nBits`-bit sign bucket (narrow map); candidates are same-bucket (or
+  *    neighboring-bucket) joins — shuffle keyed by bucket, never all-pairs.
+  *  - All dot products run as codegen'd higher-order functions
+  *    (`zip_with` + `aggregate`) over `double`-cast elements so results are
+  *    reproducible across engines (float summation order is fixed:
+  *    element order).
+  */
+object Similarity {
+
+  /** Deterministic element-order dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine near-duplicate pairs above `threshold` among vectors that share
+    * an LSH sign bucket (see [[signBucket]]) — the scalable near-dup path.
+    * With `nBits = 0` this degrades to exact all-pairs (test/oracle mode).
+    */
+  def cosineNearDups(df: DataFrame, id: Column, vec: Column,
+                     threshold: Double, nBits: Int = 0): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("v"))
+      .withColumn("bucket", if (nBits == 0) lit(0L) else signBucket(col("v"), nBits))
+    val l = base.select(col("bucket"), col("id").as("id_l"), col("v").as("v_l"))
+    val r = base.select(col("bucket"), col("id").as("id_r"), col("v").as("v_r"))
+    l.join(r, Seq("bucket")).filter(col("id_l") < col("id_r"))
+      .withColumn("cos", round(cosine(col("v_l"), col("v_r")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_l"), col("id_r"), col("cos")).distinct()
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself). `queries` should be small — it is
+    * broadcast; the corpus side streams. Ties broken by corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     id: Column, vec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
+    val q = queries.select(id.as("query_id"), vec.as("q_v"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", round(cosine(col("q_v"), col("nbr_v")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
+  /** Random-hyperplane sign bucket: bit j = sign of <v, r_j> where r_j is a
+    * deterministic ±1 hyperplane derived from the cross-engine hash of
+    * `(j, i)` — reproducible everywhere, no stored model. Narrow map.
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val proj = aggregate(
+        transform(vec, (x, i) =>
+          x.cast("double") * planeSign(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ±1 pseudo-random hyperplane component for (plane j, dim i):
+    * parity of the shared 60-bit hash of "j:i".
+    */
+  private def planeSign(j: Int, i: Column): Column =
+    when(pmod(Hashing.h15(concat(lit(j.toString), lit(":"), i.cast("string"))), lit(2L)) === 0L,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
+    * Probabilistic recall (multiprobe = flip 1 bit to widen); the
+    * correctness baseline is [[bruteForceTopK]] — the spec measures recall
+    * of this against it.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+              k: Int, nBits: Int = 8, multiprobe: Boolean = true): DataFrame = {
+    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
+      .withColumn("bucket", signBucket(col("nbr_v"), nBits))
+    val q0 = queries.select(id.as("query_id"), vec.as("q_v"))
+      .withColumn("bucket", signBucket(col("q_v"), nBits))
+    // multiprobe: query also probes every bucket at hamming distance 1
+    val q =
+      if (!multiprobe) q0
+      else q0.withColumn("bucket",
+        explode(array(col("bucket") +: (0 until nBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+    val scored = c.join(q, Seq("bucket")).filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", round(cosine(col("q_v"), col("nbr_v")), 6))
+      .select(col("query_id"), col("nbr_id"), col("cos")).distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

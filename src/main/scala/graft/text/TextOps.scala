@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over a `documents`
+  * table `(doc_id, text, lang, source, n_chars)` — the large-scale pipeline
+  * ops a Vector-class engine needs when its payload is LLM training text
+  * rather than log lines (analog of the VRL string/parse stdlib, SURVEY.md
+  * §2.5: `parse_tokens`, `strlen`, `sieve`, plus quality/classify helpers).
+  *
+  * Everything here is a pure Catalyst column program: narrow maps, no
+  * shuffles, whole-stage-codegen-able. Each op has a DuckDB-expressible
+  * twin (SparkEntry.oracleSql) built on the shared cross-engine hash
+  * [[Hashing.h15]] so results are bit-identical across engines.
+  */
+object TextOps {
+
+  /** Whitespace tokens. `split` keeps trailing empties (limit = -1), which
+    * matches DuckDB `string_split`; the testdata corpus is single-spaced.
+    */
+  def words(text: Column): Column = split(text, " ", -1)
+
+  /** Whitespace token count (VRL `parse_tokens` / `strlen` family). */
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: a GPT-2-style pre-tokenizer regex reduced to the
+    * engine-portable subset — runs of letters, runs of digits, single other
+    * non-space chars. A real BPE merge table would run in a codegen'd
+    * Expression; the regex pre-tokenization is the scalable first stage.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Real lists (top function words); matching is exact-token.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "los", "y", "es", "no", "un", "por", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "pas", "un", "pour", "dans"),
+    "zh" -> Seq("de0", "shi4", "bu4", "le0", "zai4", "you3", "he2", "ren2"))
+
+  /** Count of tokens present in `profile` (duplicates counted — ratio
+    * semantics of a real stopword scorer).
+    */
+  def stopwordHits(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => profile.map(t === _).reduce(_ || _)))
+
+  /** Language-ID: argmax of per-language stopword hit counts; ties broken
+    * by language code ascending; all-zero → "und" (undetermined, BCP-47).
+    */
+  def langId(text: Column): Column = {
+    val toks = words(text)
+    val scored = StopwordProfiles.map { case (lang, prof) =>
+      (lang, stopwordHits(toks, prof))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // first (alphabetical) language reaching the max — deterministic argmax
+    val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality-score components + composite, mirroring common training-data
+    * quality filters (length, mean word length, stopword density,
+    * symbol density). All-arithmetic → identical across engines.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = words(text)
+    val nW = size(toks).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    val stop = stopwordHits(toks, StopwordProfiles.flatMap(_._2)).cast("double")
+    val nonAlnum = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+    Seq(
+      "n_words" -> nW.cast("long"),
+      "mean_word_len" -> round(sumLen / nW, 4),
+      "stopword_ratio" -> round(stop / nW, 4),
+      "symbol_ratio" -> round(nonAlnum / greatest(length(text), lit(1)).cast("double"), 4))
+  }
+
+  /** Composite keep/drop decision (Gopher-rule-style thresholds). */
+  def qualityKeep(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    (cols("n_words") >= 10) && (cols("n_words") <= 100000) &&
+      (cols("mean_word_len") >= 2) && (cols("mean_word_len") <= 12) &&
+      (cols("symbol_ratio") <= 0.2)
+  }
+
+  /** Positional document fingerprint: fold of the cross-engine token hash
+    * with a 31-multiplier rolling accumulator (Rabin-Karp-style), mod
+    * 2^31-1. Collision-resistant enough for dedup bucketing, cheap enough
+    * to run on 10^12 rows as a narrow map.
+    */
+  def fingerprint(text: Column): Column = {
+    val g = (t: Column) => pmod(Hashing.h15(t), lit(1000003L))
+    aggregate(words(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + g(t), lit(2147483647L)))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Mechanism tests for the training-data curation operators with synthetic
+  * near-duplicates (the sf* corpus is all-distinct, so these suites build
+  * their own dup clusters to prove the detectors actually detect).
+  */
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val nearDup = // one word changed → high 3-gram Jaccard
+    "the quick brown fox jumps over the lazy cat and runs far away into the green hills tonight"
+  private val unrelated =
+    "completely different content about spark catalyst optimizer rules and columnar execution engines"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: duplicate text collapses to the smallest id") {
+    val out = Dedupe.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // 4 deduped against 1
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    // r=2 rows/band (8 bands over k=16): band-collision prob at jaccard 0.68
+    // is 1-(1-0.68^2)^8 ≈ 0.99 — the sensitivity config for ~0.5+ dup hunting
+    val pairs = Dedupe.minhashNearDups(docs, col("text"), col("doc_id"),
+      n = 3, k = 16, bands = 8, threshold = 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // near-dup found
+    assert(pairs.contains((1L, 4L)))   // exact dup found (jaccard 1.0)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("jaccard verification value is the true n-gram jaccard") {
+    val j = Dedupe.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.0)
+      .filter(col("id_l") === 1 && col("id_r") === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: near-dup within hamming 3, unrelated far away") {
+    val sims = docs.select(col("doc_id"), Dedupe.simhash32(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(4L)) == 0)  // identical text → identical simhash
+    assert(ham(sims(1L), sims(2L)) <= 3)  // one word changed → tiny distance
+    assert(ham(sims(1L), sims(3L)) > 3)   // unrelated → far
+    val pairs = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"), maxDist = 3)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("simhash band join is exhaustive for dist<=3 (pigeonhole, property)") {
+    // 40 docs derived from base by replacing word i — many small distances;
+    // band-join result must equal the brute-force result exactly.
+    val words = base.split(" ")
+    val mutated = (0 until 40).map { i =>
+      val w = words.clone(); w(i % w.length) = s"mut$i"
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaBands = Dedupe.simhashNearDups(mutated, col("text"), col("doc_id"), maxDist = 3)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val sims = mutated.select(col("doc_id"), Dedupe.simhash32(col("text")))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(viaBands == brute)
+  }
+
+  // ---------- embeddings ----------
+
+  /** Deterministic pseudo-random unit-ish vectors (hash-based, no Random). */
+  private def vecs(n: Int, dim: Int = 16) = (0 until n).map { id =>
+    (id.toLong, Array.tabulate(dim)(d =>
+      ((graft.core.Mix.mix64(id * 131L + d) % 1000L) / 1000.0f)))
+  }.toDF("vec_id", "embedding")
+
+  test("cosine near-dup: identical vector pair found at threshold ~1") {
+    val v = Array.tabulate(16)(_.toFloat / 16f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(x => 1f - x))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDups(df, col("vec_id"), col("embedding"),
+      threshold = 0.999, nBits = 0)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    // bucketed mode finds it too (identical vectors share every sign bucket)
+    val lsh = Similarity.cosineNearDups(df, col("vec_id"), col("embedding"),
+      threshold = 0.999, nBits = 4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k: exact, ties broken by id, self excluded") {
+    val df = vecs(50)
+    val q = df.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(df, q, col("vec_id"), col("embedding"), k = 5)
+    val rows = out.select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.length == 15) // 3 queries × 5
+    assert(!rows.exists(r => r._1 == r._2)) // never self
+    assert(rows.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("LSH ANN: recall vs brute force is usable (multiprobe)") {
+    val df = vecs(300).cache()
+    val q = df.filter(col("vec_id") < 20)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, q, col("vec_id"), col("embedding"), k = 5))
+    val approx = pairs(Similarity.lshTopK(df, q, col("vec_id"), col("embedding"), k = 5, nBits = 4))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  // ---------- text ops ----------
+
+  test("language-ID picks the profile language; 'und' when no stopwords hit") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht zu haus und die katze"),
+      (3L, "le chat est dans la maison et pas dehors"),
+      (4L, "xyzzy plugh qwerty asdf")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr" && out(4L) == "und")
+  }
+
+  test("quality keep: too-short and symbol-heavy docs dropped") {
+    val df = Seq(
+      (1L, base),                                  // good
+      (2L, "too short"),                           // < 10 words
+      (3L, ("x@#$ " * 20).trim)                    // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.qualityKeep(col("text")).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L) && !out(3L))
+  }
+
+  test("fingerprint: equal texts equal, word order matters") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("shingles: distinct word n-grams; short docs yield empty set") {
+    val out = Seq((1L, "a b c d"), (2L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedupe.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet == Set("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+}
