@@ -179,6 +179,23 @@ object DataOpsQueries {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
         col("vec_id"), col("embedding"), k = 5, nBits = 8)
+    }),
+
+    // ---- multimodal: synthesized binary media → per-kind stats ----
+    // (input generated in-code, so rows-only driver check; mechanism is
+    //  oracle-tested in MultimodalSpec)
+    "m_media_stats" -> ((s, _) => {
+      graft.multimodal.Multimodal.mediaStats(
+        graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8))
+    }),
+
+    // ---- multimodal: decode → feature-extract → ANN over media features ----
+    "m_media_knn" -> ((s, _) => {
+      val feats = graft.multimodal.Multimodal.decodeImages(
+        graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8))
+        .select(col("media_id").as("vec_id"), col("histogram").as("embedding"))
+      Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 30),
+        col("vec_id"), col("embedding"), k = 3)
     })
   )
 

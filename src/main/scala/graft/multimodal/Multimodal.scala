@@ -1,0 +1,188 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Mix
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media as opaque `binary` payloads + typed metadata, with
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The actual codecs (JPEG/PNG/opus/h264) are STUBBED — this container has
+  * no image/audio libraries — behind [[StubCodec]], a deterministic fake
+  * that round-trips a self-describing binary layout. Everything around the
+  * codec is real and is the part that matters at 100 TB:
+  *
+  *  - schema: `(media_id long, kind string, payload binary, meta struct)`,
+  *    media bytes NEVER pass through a shuffle unless the operator needs
+  *    them to (decode/resize are narrow maps);
+  *  - batch shape: `mapPartitions` over iterator batches of
+  *    [[Multimodal.BatchSize]] rows — the JVM analog of a vectorized
+  *    (Arrow-batched) UDF, amortizing per-batch codec setup;
+  *  - partitioning: payloads are large, so ops preserve the input
+  *    partitioning; only extracted (small) features may shuffle.
+  */
+object Multimodal {
+
+  /** Rows per codec batch (vectorized-UDF batch analog). */
+  val BatchSize = 256
+
+  final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
+                             nFrames: Int, format: String)
+  final case class MediaRow(media_id: Long, kind: String,
+                            payload: Array[Byte], meta: MediaMeta)
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+                                meanLuma: Double, histogram: Array[Float])
+
+  /** Deterministic fake codec. Layout (big-endian):
+    * magic "GRFT"(4) | kind(1) | width(4) | height(4) | sampleRate(4) |
+    * nFrames(4) | pixel/sample bytes (hash-derived).
+    *
+    * ??? REAL-CODEC BOUNDARY: `decode`/`encode` below are the two methods a
+    * real integration replaces (e.g. TwelveMonkeys ImageIO / JavaCV). The
+    * byte-plumbing, schema and batching around them stay unchanged.
+    */
+  object StubCodec {
+    val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
+    private val KindCodes = Map("image" -> 1.toByte, "audio" -> 2.toByte, "video" -> 3.toByte)
+    private val CodeKinds = KindCodes.map(_.swap)
+
+    def encode(id: Long, kind: String, w: Int, h: Int, rate: Int, frames: Int): Array[Byte] = {
+      val body = pixelBytes(id, w * h * math.max(frames, 1))
+      val bb = java.nio.ByteBuffer.allocate(21 + body.length)
+      bb.put(Magic).put(KindCodes(kind)).putInt(w).putInt(h).putInt(rate).putInt(frames)
+      bb.put(body).array()
+    }
+
+    /** Hash-derived fake pixel/sample content — deterministic per id. */
+    def pixelBytes(id: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = (Mix.mix64(id * 7919L + i) & 0xFF).toByte; i += 1 }
+      out
+    }
+
+    def decode(payload: Array[Byte]): (String, Int, Int, Int, Int, Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(java.util.Arrays.equals(magic, Magic), "bad magic")
+      val kind = CodeKinds(bb.get())
+      val (w, h, rate, frames) = (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
+      val body = new Array[Byte](bb.remaining()); bb.get(body)
+      (kind, w, h, rate, frames, body)
+    }
+  }
+
+  /** Deterministic synthetic media table (no external data): dims/kind are
+    * pure functions of `media_id` — identical at any parallelism.
+    */
+  def genMedia(spark: SparkSession, rows: Long, parts: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, rows, 1, parts).as[Long].map { id =>
+      val kind = Seq("image", "audio", "video")(Mix.bounded(0x3D1A, id, 1, 3))
+      val w = 8 + Mix.bounded(0x3D1B, id, 2, 24)
+      val h = 8 + Mix.bounded(0x3D1C, id, 3, 24)
+      val rate = if (kind == "audio") 16000 else 0
+      val frames = if (kind == "video") 2 + Mix.bounded(0x3D1D, id, 4, 6) else 1
+      MediaRow(id, kind, StubCodec.encode(id, kind, w, h, rate, frames),
+        MediaMeta(w, h, rate, frames, "grft"))
+    }
+  }
+
+  /** Decode stage: narrow `mapPartitions` in codec batches; emits small
+    * typed rows (payload dropped — only features survive, so anything
+    * downstream shuffles kilobytes, not media bytes).
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // per-batch codec init would go here (real codecs amortize setup)
+        batch.iterator.map { row =>
+          val (_, w, h, _, _, body) = StubCodec.decode(row.payload)
+          DecodedImage(row.media_id, w, h, meanLuma(body), histogram16(body))
+        }
+      }
+    }
+  }
+
+  /** Resize stage: nearest-neighbor on the fake pixel grid — payload in,
+    * payload out, same schema; narrow map, partitioning preserved.
+    */
+  def resizeImages(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      if (row.kind != "image") row
+      else {
+        val (_, w, h, rate, frames, body) = StubCodec.decode(row.payload)
+        val out = new Array[Byte](newW * newH)
+        var y = 0
+        while (y < newH) {
+          var x = 0
+          while (x < newW) {
+            out(y * newW + x) = body((y * h / newH) * w + (x * w / newW)); x += 1
+          }
+          y += 1
+        }
+        val bb = java.nio.ByteBuffer.allocate(21 + out.length)
+        bb.put(StubCodec.Magic).put(1.toByte).putInt(newW).putInt(newH)
+          .putInt(rate).putInt(frames).put(out)
+        row.copy(payload = bb.array(), meta = row.meta.copy(width = newW, height = newH))
+      }
+    }
+  }
+
+  /** Frame-sample stage: keep every `stride`-th frame of video payloads. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      if (row.kind != "video") row
+      else {
+        val (_, w, h, rate, frames, body) = StubCodec.decode(row.payload)
+        val frameLen = w * h
+        val kept = (0 until frames by stride).toArray
+        val out = new Array[Byte](frameLen * kept.length)
+        kept.zipWithIndex.foreach { case (f, i) =>
+          System.arraycopy(body, f * frameLen, out, i * frameLen, frameLen)
+        }
+        val bb = java.nio.ByteBuffer.allocate(21 + out.length)
+        bb.put(StubCodec.Magic).put(3.toByte).putInt(w).putInt(h)
+          .putInt(rate).putInt(kept.length).put(out)
+        row.copy(payload = bb.array(), meta = row.meta.copy(nFrames = kept.length))
+      }
+    }
+  }
+
+  private def meanLuma(body: Array[Byte]): Double = {
+    var s = 0L; var i = 0
+    while (i < body.length) { s += (body(i) & 0xFF); i += 1 }
+    if (body.isEmpty) 0.0 else s.toDouble / body.length
+  }
+
+  /** 16-bucket byte histogram, L1-normalized — the feature-extraction stub
+    * (a real model would emit an embedding here); feeds graft.sim ANN.
+    */
+  def histogram16(body: Array[Byte]): Array[Float] = {
+    val h = new Array[Float](16)
+    var i = 0
+    while (i < body.length) { h((body(i) & 0xFF) >> 4) += 1f; i += 1 }
+    if (body.nonEmpty) { var j = 0; while (j < 16) { h(j) /= body.length; j += 1 } }
+    h
+  }
+
+  /** Media stats per kind — the metadata-path query (no payload shuffle:
+    * aggregates project meta fields only; Parquet would prune the binary
+    * column entirely).
+    */
+  def mediaStats(media: Dataset[MediaRow]): DataFrame =
+    media.toDF().select(col("media_id"), col("kind"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.nFrames").as("n_frames"), length(col("payload")).as("payload_bytes"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("payload_bytes")).as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_w"),
+        round(avg(col("height")), 4).as("avg_h"),
+        sum(col("n_frames")).as("total_frames"))
+}
