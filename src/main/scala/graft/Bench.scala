@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench surface: one JSON line with per-query seconds over
+  * `SPARK_GRAFT_SF_DIR`, plus the north-rule scaling section (pipeline
+  * throughput at 2/8/32 pinned cores — see ScalingBench).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +23,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // north-rule scaling evidence (pinned child JVMs; skipped gracefully if
+    // the environment can't spawn them)
+    val scaling = scala.util.Try {
+      val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+      val r = ScalingBench.measure(rows, maxTok = 256, dir = "/tmp/graft_scaling_input")
+      ScalingBench.json(rows, r)
+    }.toOption
+    val scalingPart = scaling.map(s => s""","scaling":$s""").getOrElse("")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingPart}""")
   }
 }

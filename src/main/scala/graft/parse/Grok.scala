@@ -87,14 +87,20 @@ object Grok {
 
   /** Apply a compiled pattern to `src`, adding one column per field plus a
     * `_parse_ok` boolean (the fallible-parse lane — VRL errors route to the
-    * dropped port, src/transforms/remap.rs:149-153). Stays fully codegen'd.
+    * dropped port, src/transforms/remap.rs:149-153).
+    *
+    * Extraction is ONE regex execution per row via the native
+    * [[RegexExtractStruct]] expression (the `rlike` + per-field
+    * `regexp_extract` formulation runs the full match k+1 times); field
+    * columns are cheap struct-field reads off the result. Fully codegen'd.
     */
   def parse(df: DataFrame, src: Column, compiled: Compiled): DataFrame = {
-    val withOk = df.withColumn("_parse_ok", src.rlike(compiled.regex))
-    compiled.fields.foldLeft(withOk) { (d, f) =>
-      d.withColumn(f.name,
-        when(col("_parse_ok"),
-          castCol(regexp_extract(src, compiled.regex, f.group), f.castTo)))
-    }
+    import org.apache.spark.sql.graft.Bridge
+    val ext = Bridge.column(RegexExtractStruct(
+      Bridge.expression(src), compiled.regex, compiled.fields.map(_.name)))
+    val withG = df.withColumn("_g", ext).withColumn("_parse_ok", col("_g").isNotNull)
+    compiled.fields.foldLeft(withG) { (d, f) =>
+      d.withColumn(f.name, castCol(col("_g").getField(f.name), f.castTo))
+    }.drop("_g")
   }
 }
