@@ -32,10 +32,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DataOpsQueries.queries ++ coreQueries
+    DataOpsQueries.queries ++ graft.functions.FunctionQueries.queries ++ coreQueries
 
   def oracleSql: Map[String, String] =
-    DataOpsQueries.oracleSql ++ coreOracleSql
+    DataOpsQueries.oracleSql ++ graft.functions.FunctionQueries.oracleSql ++ coreOracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregate core sanity (TPC-H q1-style pricing summary) ----

@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Vrl => V}
+
+/** Per-category coverage queries for the VRL stdlib surface (SURVEY.md
+  * §2.5), each with a DuckDB twin. Inputs are constructed from the events
+  * table's own columns (integers only are embedded in strings — double
+  * formatting differs across engines) so every function is exercised on
+  * 10k+ distinct values, not one literal.
+  */
+object FunctionQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  // a logfmt line built from integer-safe fields
+  private def logfmtLine = V.encodeLogfmt(Seq(
+    "ev" -> col("event_type"), "user" -> col("user_id"), "id" -> col("event_id")))
+  private val duckLogfmtLine =
+    "('ev=' || event_type || ' user=' || user_id || ' id=' || event_id)"
+
+  private def urlCol = concat(lit("https://api.example.com:8443/v1/"), col("event_type"),
+    lit("?user="), col("user_id"), lit("&page="), pmod(col("event_id"), lit(7)))
+  private val duckUrl =
+    "('https://api.example.com:8443/v1/' || event_type || '?user=' || user_id || '&page=' || (event_id % 7))"
+
+  private def ipCol = concat_ws(".",
+    lit(10), pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)), lit(7))
+  private val duckIp = "('10.' || (user_id % 256) || '.' || (event_id % 256) || '.7')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- parse_key_value / parse_logfmt + encode_logfmt round trip ----
+    "f_parse_kv" -> ((s, dir) => {
+      val m = V.parseKeyValue(logfmtLine)
+      ev(s, dir).select(col("event_id"),
+        logfmtLine.as("line"),
+        element_at(m, "ev").as("kv_ev"),
+        element_at(m, "user").cast("long").as("kv_user"))
+    }),
+
+    // ---- parse_url family ----
+    "f_parse_url" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        V.urlScheme(urlCol).as("scheme"),
+        V.urlHost(urlCol).as("host"),
+        V.urlPort(urlCol).as("port"),
+        V.urlPath(urlCol).as("path"),
+        V.urlQueryParam(urlCol, "page").cast("int").as("q_page"))
+    }),
+
+    // ---- parse_csv + encode_csv round trip ----
+    "f_parse_csv" -> ((s, dir) => {
+      val line = V.encodeCsv(Seq(col("event_id"), col("event_type"), pmod(col("user_id"), lit(97))))
+      val f = V.parseCsv(line)
+      ev(s, dir).select(col("event_id"),
+        f.getItem(1).as("c1"), f.getItem(2).cast("long").as("c2"))
+    }),
+
+    // ---- parse_timestamp / parse_duration / unix round trips ----
+    "f_parse_time" -> ((s, dir) => {
+      val fmtd = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+      ev(s, dir).select(col("event_id"),
+        V.parseTimestamp(fmtd, "yyyy-MM-dd HH:mm:ss").as("ts_rt"),
+        V.toUnix(col("ts")).as("epoch_s"),
+        V.fromUnix(V.toUnix(col("ts"))).as("ts_unix_rt"),
+        V.parseDurationSecs(concat(pmod(col("event_id"), lit(500)),
+          element_at(array(lit("ms"), lit("s"), lit("m"), lit("h")),
+            (pmod(col("event_id"), lit(4)) + 1).cast("int")))).as("dur_s"))
+    }),
+
+    // ---- string family ----
+    "f_string_ops" -> ((s, dir) => {
+      val t = col("event_type")
+      ev(s, dir).select(col("event_id"),
+        V.upcase(t).as("up"), V.strlen(t).cast("long").as("len"),
+        V.truncate(t, 3).as("trunc3"),
+        V.replaceAll(t, "[aeiou]", "_").as("devoweled"),
+        V.sieve(concat(t, lit("!#"), col("user_id")), "a-z0-9").as("sieved"),
+        V.redact(concat(lit("user="), col("user_id")), "\\d+").as("redacted"),
+        V.matchRe(t, "^(error|signup)$").as("is_alert"),
+        V.snakecase(concat(t, lit(" case"))).as("snake"),
+        V.camelcase(concat(t, lit("_case_x"))).as("camel"))
+    }),
+
+    // ---- codec / hash family ----
+    "f_codec" -> ((s, dir) => {
+      val t = col("event_type")
+      ev(s, dir).select(col("event_id"),
+        V.encodeBase64(t).as("b64"),
+        (V.decodeBase64(V.encodeBase64(t)) === t).as("b64_rt"),
+        V.encodeBase16(t).as("hexs"),
+        V.md5Hex(t).as("md5s"),
+        V.sha256Hex(t).as("sha256s"))
+    }),
+
+    // ---- number / math family ----
+    "f_number" -> ((s, dir) => {
+      val v = col("value")
+      ev(s, dir).select(col("event_id"),
+        abs(v - 100).as("abs_v"), ceil(v).as("ceil_v"), floor(v).as("floor_v"),
+        round(v, 1).as("round_v"),
+        V.mod(col("event_id"), lit(13)).as("mod_v"),
+        round(V.haversineKm(
+          pmod(col("user_id"), lit(180)) - 90, pmod(col("event_id"), lit(360)) - 180,
+          lit(48.8566), lit(2.3522)), 4).as("hav_km"))
+    }),
+
+    // ---- IP family ----
+    "f_ip" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        ipCol.as("ip"),
+        V.ipAton(ipCol).as("ip_n"),
+        (V.ipNtoa(V.ipAton(ipCol)) === ipCol).as("ntoa_rt"),
+        V.ipCidrContains(lit("10.0.0.0"), 8, ipCol).as("in_10slash8"),
+        V.ipCidrContains(lit("10.42.0.0"), 16, ipCol).as("in_10_42slash16"))
+    }),
+
+    // ---- syslog helpers ----
+    "f_syslog" -> ((s, dir) => {
+      val pri = pmod(col("event_id"), lit(192)).cast("int")
+      ev(s, dir).select(col("event_id"),
+        V.toSyslogLevel(pri % 8).as("level"),
+        V.toSyslogSeverity(V.toSyslogLevel(pri % 8)).cast("int").as("sev_rt"),
+        V.syslogFacility(pri).as("facility"))
+    }),
+
+    // ---- collections (higher-order fns over split arrays) ----
+    "f_collections" -> ((s, dir) => {
+      val arr = split(concat_ws(" ", col("event_type"), col("event_type"), lit("x"),
+        pmod(col("user_id"), lit(5))), " ", -1)
+      ev(s, dir).select(col("event_id"),
+        size(arr).cast("long").as("n"),
+        size(array_distinct(arr)).cast("long").as("n_uniq"),
+        array_contains(arr, "x").as("has_x"),
+        aggregate(arr, lit(0L), (acc, t) => acc + length(t)).as("total_len"),
+        array_join(reverse(arr), "|").as("rev_joined"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "f_parse_kv" ->
+      s"""SELECT event_id, $duckLogfmtLine AS line,
+         | regexp_extract($duckLogfmtLine, 'ev=([^ ]*)', 1) AS kv_ev,
+         | CAST(regexp_extract($duckLogfmtLine, 'user=([^ ]*)', 1) AS BIGINT) AS kv_user
+         |FROM events""".stripMargin,
+
+    "f_parse_url" ->
+      s"""SELECT event_id,
+         | regexp_extract($duckUrl, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         | regexp_extract($duckUrl, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         | CAST(nullif(regexp_extract($duckUrl, '^[a-z][a-z0-9+.-]*://[^/:?#]+:(\\d+)', 1), '') AS INT) AS port,
+         | regexp_extract($duckUrl, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         | CAST(nullif(regexp_extract($duckUrl, '[?&]page=([^&#]*)', 1), '') AS INT) AS q_page
+         |FROM events""".stripMargin,
+
+    "f_parse_csv" ->
+      """SELECT event_id,
+        | string_split(event_id || ',' || event_type || ',' || (user_id % 97), ',')[2] AS c1,
+        | CAST(string_split(event_id || ',' || event_type || ',' || (user_id % 97), ',')[3] AS BIGINT) AS c2
+        |FROM events""".stripMargin,
+
+    "f_parse_time" ->
+      """SELECT event_id,
+        | strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        | to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_unix_rt,
+        | CAST(event_id % 500 AS DOUBLE) * (CASE (event_id % 4)
+        |   WHEN 0 THEN 0.001 WHEN 1 THEN 1.0 WHEN 2 THEN 60.0 ELSE 3600.0 END) AS dur_s
+        |FROM events""".stripMargin,
+
+    "f_string_ops" ->
+      """SELECT event_id,
+        | upper(event_type) AS up, len(event_type) AS len,
+        | substr(event_type, 1, 3) AS trunc3,
+        | regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
+        | regexp_replace(event_type || '!#' || user_id, '[^a-z0-9]', '', 'g') AS sieved,
+        | regexp_replace('user=' || user_id, '\d+', '[REDACTED]', 'g') AS redacted,
+        | regexp_matches(event_type, '^(error|signup)$') AS is_alert,
+        | lower(replace(event_type || ' case', ' ', '_')) AS snake,
+        | list_aggregate(list_transform(string_split(lower(event_type || '_case_x'), '_'),
+        |    w -> CASE WHEN w = string_split(lower(event_type || '_case_x'), '_')[1]
+        |         THEN w ELSE upper(substr(w,1,1)) || substr(w,2) END), 'string_agg', '') AS camel
+        |FROM events""".stripMargin,
+
+    "f_codec" ->
+      """SELECT event_id,
+        | to_base64(CAST(event_type AS BLOB)) AS b64,
+        | (CAST(from_base64(to_base64(CAST(event_type AS BLOB))) AS VARCHAR) = event_type) AS b64_rt,
+        | lower(hex(event_type)) AS hexs,
+        | md5(event_type) AS md5s,
+        | sha256(event_type) AS sha256s
+        |FROM events""".stripMargin,
+
+    "f_number" ->
+      """SELECT event_id,
+        | abs(value - 100) AS abs_v,
+        | CAST(ceil(value) AS BIGINT) AS ceil_v, CAST(floor(value) AS BIGINT) AS floor_v,
+        | round(value, 1) AS round_v,
+        | (event_id % 13) AS mod_v,
+        | round(6371.0 * 2.0 * asin(sqrt(
+        |    pow(sin(radians(48.8566 - ((user_id % 180) - 90)) / 2), 2) +
+        |    cos(radians((user_id % 180) - 90)) * cos(radians(48.8566)) *
+        |    pow(sin(radians(2.3522 - ((event_id % 360) - 180)) / 2), 2))), 4) AS hav_km
+        |FROM events""".stripMargin,
+
+    "f_ip" -> {
+      val aton = s"(10*16777216 + (user_id % 256)*65536 + (event_id % 256)*256 + 7)"
+      s"""SELECT event_id, $duckIp AS ip,
+         | $aton AS ip_n,
+         | true AS ntoa_rt,
+         | ($aton // 16777216) = (10*16777216 // 16777216) AS in_10slash8,
+         | ($aton // 65536) = ((10*16777216 + 42*65536) // 65536) AS in_10_42slash16
+         |FROM events""".stripMargin
+    },
+
+    "f_syslog" ->
+      """SELECT event_id,
+        | (CASE (event_id % 192) % 8 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert'
+        |   WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning'
+        |   WHEN 5 THEN 'notice' WHEN 6 THEN 'info' ELSE 'debug' END) AS level,
+        | CAST((event_id % 192) % 8 AS INT) AS sev_rt,
+        | CAST((event_id % 192) // 8 AS INT) AS facility
+        |FROM events""".stripMargin,
+
+    "f_collections" -> {
+      val arr = "string_split(event_type || ' ' || event_type || ' x ' || (user_id % 5), ' ')"
+      s"""SELECT event_id,
+         | len($arr) AS n,
+         | len(list_distinct($arr)) AS n_uniq,
+         | list_contains($arr, 'x') AS has_x,
+         | CAST(list_sum(list_transform($arr, t -> len(t))) AS BIGINT) AS total_len,
+         | list_aggregate(list_reverse($arr), 'string_agg', '|') AS rev_joined
+         |FROM events""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** VRL stdlib re-expressed as Catalyst column combinators (reference:
+  * ~200 functions under website/cue/reference/remap/functions/, wired
+  * into remap at src/transforms/remap.rs:219-224; inventory SURVEY.md §2.5).
+  *
+  * Functions are grouped as in the survey. Everything here is built from
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs); each has a DuckDB
+  * twin in FunctionQueries.oracleSql. Deliberately NOT ported: crypto
+  * beyond hashes (encrypt/decrypt/hmac), protobuf/cbor codecs, MaxMind
+  * lookups (no data), random_* (nondeterministic by design — Spark `rand`
+  * with a seed is the analog).
+  */
+object Vrl {
+
+  // ---------------- parse_* ----------------
+
+  /** `parse_key_value` / `parse_logfmt`: "a=1 b=x" → map. */
+  def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
+    str_to_map(c, lit(pairSep), lit(kvSep))
+
+  /** `parse_url` components via engine-portable regexes (host/port/path/query). */
+  def urlScheme(c: Column): Column = regexp_extract(c, "^([a-z][a-z0-9+.-]*)://", 1)
+  def urlHost(c: Column): Column = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+  def urlPort(c: Column): Column =
+    nullif(regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/:?#]+:(\\d+)", 1), lit("")).cast("int")
+  def urlPath(c: Column): Column = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+  def urlQueryParam(c: Column, key: String): Column =
+    nullif(regexp_extract(c, s"[?&]${java.util.regex.Pattern.quote(key)}=([^&#]*)", 1), lit(""))
+
+  /** `parse_csv` (unquoted subset): one row → array of fields. */
+  def parseCsv(c: Column): Column = split(c, ",", -1)
+
+  /** `parse_timestamp` with an explicit format. */
+  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+
+  /** `parse_duration`: "150ms" / "30s" / "5m" / "2h" → seconds (double). */
+  def parseDurationSecs(c: Column): Column = {
+    val n = regexp_extract(c, "^(\\d+(?:\\.\\d+)?)", 1).cast("double")
+    val unit = regexp_extract(c, "(ms|s|m|h)$", 1)
+    n * when(unit === "ms", 0.001).when(unit === "s", 1.0)
+      .when(unit === "m", 60.0).when(unit === "h", 3600.0)
+  }
+
+  /** `parse_int` with radix 16. */
+  def parseHex(c: Column): Column = conv(c, 16, 10).cast("long")
+
+  /** `from_unix_timestamp` / `to_unix_timestamp`. */
+  def fromUnix(c: Column): Column = to_timestamp(c)
+  def toUnix(c: Column): Column = unix_timestamp(c)
+
+  // ---------------- string ----------------
+
+  def upcase(c: Column): Column = upper(c)
+  def downcase(c: Column): Column = lower(c)
+  def strlen(c: Column): Column = length(c)
+  def containsS(c: Column, s: String): Column = c.contains(s)
+  def startsWith(c: Column, s: String): Column = c.startsWith(s)
+  def endsWith(c: Column, s: String): Column = c.endsWith(s)
+  def matchRe(c: Column, re: String): Column = c.rlike(re)
+  def replaceAll(c: Column, re: String, to: String): Column = regexp_replace(c, re, to)
+  def truncate(c: Column, n: Int): Column = substring(c, 1, n)
+  def sliceS(c: Column, start: Int, len: Int): Column = substring(c, start + 1, len)
+  def stripWhitespace(c: Column): Column = trim(c)
+  /** `sieve`: keep only characters matching the allowed class. */
+  def sieve(c: Column, allowedClass: String): Column =
+    regexp_replace(c, s"[^$allowedClass]", "")
+  /** `redact`: mask every match of the pattern. */
+  def redact(c: Column, re: String): Column = regexp_replace(c, re, "[REDACTED]")
+  def snakecase(c: Column): Column = lower(regexp_replace(c, "[ -]", "_"))
+  def kebabcase(c: Column): Column = lower(regexp_replace(c, "[ _]", "-"))
+  /** `camelcase` over space/underscore-separated lowercase words. */
+  def camelcase(c: Column): Column = {
+    val parts = split(lower(c), "[ _-]")
+    concat(element_at(parts, 1),
+      array_join(transform(slice(parts, 2, 10000), w => initcap(w)), ""))
+  }
+
+  // ---------------- codec / hash ----------------
+
+  def encodeBase64(c: Column): Column = base64(c.cast("binary"))
+  def decodeBase64(c: Column): Column = unbase64(c).cast("string")
+  def encodeBase16(c: Column): Column = lower(hex(c))
+  def md5Hex(c: Column): Column = md5(c.cast("binary"))
+  def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
+
+  // ---------------- number / math ----------------
+
+  def mod(a: Column, b: Column): Column = pmod(a, b)
+  /** `haversine` great-circle distance in km (pure arithmetic — identical
+    * in any engine given the same double ops).
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = lit(6371.0)
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    r * lit(2.0) * asin(sqrt(a))
+  }
+
+  // ---------------- IP ----------------
+
+  /** `ip_aton`: dotted quad → uint32 as long. */
+  def ipAton(c: Column): Column = {
+    val o = (i: Int) => split(c, "\\.", -1).getItem(i - 1).cast("long")
+    o(1) * 16777216L + o(2) * 65536L + o(3) * 256L + o(4)
+  }
+
+  /** `ip_ntoa`: uint32 long → dotted quad. */
+  def ipNtoa(c: Column): Column =
+    concat_ws(".",
+      (c / 16777216L).cast("long") % 256, (c / 65536L).cast("long") % 256,
+      (c / 256L).cast("long") % 256, c.cast("long") % 256)
+
+  /** `ip_cidr_contains`: both addresses shifted down to the network prefix. */
+  def ipCidrContains(net: Column, prefix: Int, ip: Column): Column = {
+    val shift = math.pow(2, 32 - prefix).toLong
+    (ipAton(ip) / shift).cast("long") === (ipAton(net) / shift).cast("long")
+  }
+
+  // ---------------- syslog helpers ----------------
+
+  /** `to_syslog_level`: severity code → level name (RFC 5424). */
+  def toSyslogLevel(sev: Column): Column =
+    when(sev === 0, "emerg").when(sev === 1, "alert").when(sev === 2, "crit")
+      .when(sev === 3, "err").when(sev === 4, "warning").when(sev === 5, "notice")
+      .when(sev === 6, "info").when(sev === 7, "debug")
+
+  /** `to_syslog_severity`: level name → code. */
+  def toSyslogSeverity(level: Column): Column =
+    when(level === "emerg", 0).when(level === "alert", 1).when(level === "crit", 2)
+      .when(level === "err", 3).when(level === "warning", 4).when(level === "notice", 5)
+      .when(level === "info", 6).when(level === "debug", 7)
+
+  /** `to_syslog_facility_code`: priority = facility*8 + severity. */
+  def syslogFacility(pri: Column): Column = (pri / 8).cast("int")
+  def syslogSeverityFromPri(pri: Column): Column = pri % 8
+
+  // ---------------- encode_* ----------------
+
+  /** `encode_logfmt` for given (key, column) pairs. */
+  def encodeLogfmt(fields: Seq[(String, Column)]): Column =
+    concat_ws(" ", fields.map { case (k, v) => concat(lit(k + "="), v.cast("string")) }: _*)
+
+  /** `encode_csv` (unquoted subset). */
+  def encodeCsv(cols: Seq[Column]): Column = concat_ws(",", cols.map(_.cast("string")): _*)
+}
