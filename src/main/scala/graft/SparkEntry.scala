@@ -32,10 +32,12 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DataOpsQueries.queries ++ graft.functions.FunctionQueries.queries ++ coreQueries
+    DataOpsQueries.queries ++ graft.functions.FunctionQueries.queries ++
+    graft.ops.TransformVariantQueries.queries ++ coreQueries
 
   def oracleSql: Map[String, String] =
-    DataOpsQueries.oracleSql ++ graft.functions.FunctionQueries.oracleSql ++ coreOracleSql
+    DataOpsQueries.oracleSql ++ graft.functions.FunctionQueries.oracleSql ++
+    graft.ops.TransformVariantQueries.oracleSql ++ coreOracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregate core sanity (TPC-H q1-style pricing summary) ----

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Coverage queries for the transform config-variants (the non-default
+  * reference behaviors: exclude conditions, ignore-lists, full reduce
+  * strategy set, forward_when, drop_tag, histogram mode, json codec) —
+  * each with a DuckDB twin.
+  */
+object TransformVariantQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- sample + exclude (sample/config.rs:76-83) ----
+    "v_sample_exclude" -> ((s, dir) => {
+      Transforms.sampleWithExclude(ev(s, dir), col("event_id"), 10,
+        col("event_type") === "error")
+        .select(col("event_id"), col("sample_rate"))
+    }),
+
+    // ---- throttle + exclude (throttle/config.rs:54-58) ----
+    "v_throttle_exclude" -> ((s, dir) => {
+      Transforms.throttleWithExclude(ev(s, dir), col("user_id"), col("ts"), "hour",
+        3, col("event_id"), col("event_type") === "error")
+        .select(col("event_id"), col("user_id"))
+    }),
+
+    // ---- dedupe ignore-list mode (dedupe/common.rs) ----
+    "v_dedupe_ignore" -> ((s, dir) => {
+      Transforms.dedupeIgnoring(
+        ev(s, dir).select("event_id", "ts", "user_id", "event_type"),
+        ignore = Seq("event_id", "ts"), order = Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // ---- reduce full strategy set (reduce/config.rs:64-106) ----
+    "v_reduce_strategies" -> ((s, dir) => {
+      Transforms.reduceStrategies(ev(s, dir), Seq(col("user_id")), col("ts"),
+        col("event_id"), round(col("value"), 2), col("event_type"))
+        // arrays → strings: the driver's row-sort compare needs scalar cells
+        .withColumn("arr_v", array_join(col("arr_v").cast("array<string>"), ","))
+        .withColumn("flat_unique_s", array_join(array_sort(col("flat_unique_s")), ","))
+    }),
+
+    // ---- window + forward_when (window/config.rs:44-50) ----
+    "v_window_forward" -> ((s, dir) => {
+      Transforms.contextWindowForward(ev(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type") === "error", 2, 2,
+        forwardWhen = col("event_type") === "purchase")
+        .select(col("event_id"))
+    }),
+
+    // ---- tag_cardinality_limit, action=drop_tag (config.rs:90-96) ----
+    "v_tag_droptag" -> ((s, dir) => {
+      Transforms.tagCardinalityDropTag(ev(s, dir), "event_type", col("ts"), 3)
+        .select(col("event_id"), col("event_type"))
+    }),
+
+    // ---- log_to_metric histogram mode (log_to_metric.rs:101-123) ----
+    "v_log_to_metric_hist" -> ((s, dir) => {
+      Transforms.logToMetricHistogram(ev(s, dir), Seq("event_type"),
+        col("value"), Seq(50.0, 100.0, 150.0, 200.0))
+    }),
+
+    // ---- json codec: encode (to_json) + decode (from_json) round trip ----
+    "v_json_codec" -> ((s, dir) => {
+      val j = to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
+      ev(s, dir).select(col("event_id"),
+        j.as("encoded"),
+        from_json(j, lit("id BIGINT, t STRING")).getField("t").as("decoded_t"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "v_sample_exclude" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE 10 END AS sample_rate
+        |FROM events WHERE event_type = 'error' OR event_id % 10 = 0""".stripMargin,
+
+    "v_throttle_exclude" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |            ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+        |  FROM events)
+        |WHERE event_type = 'error' OR rn <= 3""".stripMargin,
+
+    "v_dedupe_ignore" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "v_reduce_strategies" ->
+      """SELECT user_id, count(*) AS n,
+        | (list(round(value,2) ORDER BY ts, event_id))[1] AS first_v,
+        | (list(round(value,2) ORDER BY ts DESC, event_id DESC))[1] AS last_v,
+        | round(sum(round(value,2)), 2) AS sum_v,
+        | max(round(value,2)) AS max_v, min(round(value,2)) AS min_v,
+        | list_aggregate(list_transform(list(round(value,2) ORDER BY ts, event_id),
+        |     x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS arr_v,
+        | string_agg(event_type, ' ' ORDER BY ts, event_id) AS concat_s,
+        | list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',') AS flat_unique_s
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "v_window_forward" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, event_type,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near_err
+        |  FROM events)
+        |WHERE event_type = 'purchase' OR near_err = 1""".stripMargin,
+
+    "v_tag_droptag" ->
+      """SELECT e.event_id,
+        | CASE WHEN r.rk <= 3 THEN e.event_type ELSE NULL END AS event_type
+        |FROM events e
+        |JOIN (
+        |  SELECT event_type, row_number() OVER (ORDER BY fs, event_type) AS rk
+        |  FROM (SELECT event_type, min(ts) AS fs FROM events GROUP BY event_type)
+        |) r ON e.event_type = r.event_type""".stripMargin,
+
+    "v_log_to_metric_hist" ->
+      """SELECT event_type,
+        | sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS le_50_0,
+        | sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS le_100_0,
+        | sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS le_150_0,
+        | sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS le_200_0,
+        | count(*) AS count, round(sum(value), 2) AS sum
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "v_json_codec" ->
+      """SELECT event_id,
+        | to_json(struct_pack(id := event_id, t := event_type)) AS encoded,
+        | CAST(json_extract_string(to_json(struct_pack(id := event_id, t := event_type)), '$.t')
+        |      AS VARCHAR) AS decoded_t
+        |FROM events""".stripMargin
+  )
+}

@@ -157,4 +157,98 @@ object Transforms {
       ts.as("timestamp"),
       name.as("metric_name"),
       value.as("metric_value"))
+
+  // ------------------- config-variant forms -------------------
+
+  /** `sample` with `exclude` (reference: sample/config.rs:76-83 — events
+    * matching `exclude` bypass sampling entirely and carry no
+    * `sample_rate`). Narrow map, no shuffle.
+    */
+  def sampleWithExclude(df: DataFrame, key: Column, rate: Int, exclude: Column): DataFrame =
+    df.filter(exclude || pmod(key, lit(rate)) === 0)
+      .withColumn("sample_rate", when(exclude, lit(null: java.lang.Integer)).otherwise(lit(rate)))
+
+  /** `throttle` with `exclude` (reference: throttle/config.rs:54-58 —
+    * excluded events are never rate-limited and don't consume quota).
+    */
+  def throttleWithExclude(df: DataFrame, key: Column, ts: Column, bucket: String,
+                          threshold: Int, tieBreak: Column, exclude: Column): DataFrame = {
+    // excluded rows don't consume quota: rank only the throttled population
+    val ranked = df.withColumn("_ex", coalesce(exclude, lit(false)))
+      .withColumn("_rn",
+        sum(when(col("_ex"), 0).otherwise(1)).over(
+          Window.partitionBy(key, date_trunc(bucket, ts)).orderBy(ts, tieBreak)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.filter(col("_ex") || col("_rn") <= threshold).drop("_ex", "_rn")
+  }
+
+  /** `dedupe` ignore-list mode (reference: dedupe/common.rs — fields NOT
+    * in the ignore list form the match key).
+    */
+  def dedupeIgnoring(df: DataFrame, ignore: Seq[String], order: Seq[Column]): DataFrame = {
+    val keys = df.columns.filterNot(ignore.contains).map(col).toSeq
+    dedupeKeepFirst(df, keys, order)
+  }
+
+  /** `reduce` with the full order-sensitive strategy set (reference:
+    * reduce/config.rs:64-106: discard/retain = first/last by arrival,
+    * sum/max/min, array, concat). Arrival order is the explicit (ts, tie)
+    * ordering; array/concat collect in that order via sort_array over
+    * (ts, tie, v) structs — deterministic under any partitioning.
+    */
+  def reduceStrategies(df: DataFrame, keys: Seq[Column], ts: Column, tie: Column,
+                       value: Column, strValue: Column): DataFrame = {
+    val ordStruct = struct(ts.as("o1"), tie.as("o2"), value.as("v"), strValue.as("s"))
+    df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(value, ordStruct).as("first_v"),   // discard strategy: first wins
+        max_by(value, ordStruct).as("last_v"),    // retain strategy: last wins
+        round(sum(value), 2).as("sum_v"),
+        max(value).as("max_v"), min(value).as("min_v"),
+        transform(sort_array(collect_list(ordStruct)), x => x.getField("v")).as("arr_v"),
+        array_join(transform(sort_array(collect_list(ordStruct)), x => x.getField("s")), " ")
+          .as("concat_s"),
+        array_distinct(transform(sort_array(collect_list(ordStruct)), x => x.getField("s")))
+          .as("flat_unique_s"))
+  }
+
+  /** `window` with `forward_when` bypass (reference: window/config.rs:44-50
+    * — matching events always pass, independent of the ring buffer).
+    */
+  def contextWindowForward(df: DataFrame, key: Column, order: Seq[Column],
+                           flushWhen: Column, before: Int, after: Int,
+                           forwardWhen: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-after, before)
+    df.withColumn("_keep",
+      coalesce(forwardWhen, lit(false)) || max(flushWhen.cast("int")).over(w) === 1)
+      .filter(col("_keep")).drop("_keep")
+  }
+
+  /** `tag_cardinality_limit` with `action = drop_tag` (reference:
+    * tag_cardinality_limit/config.rs:90-96 — the event survives, the
+    * over-limit tag value is nulled out).
+    */
+  def tagCardinalityDropTag(df: DataFrame, tag: String, ts: Column, limit: Int): DataFrame = {
+    val firstSeen = df.groupBy(col(tag)).agg(min(ts).as("_fs"))
+    val allowed = firstSeen
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_fs"), col(tag))))
+      .filter(col("_rk") <= limit)
+      .select(col(tag).as("_allowed_tag"))
+    df.join(broadcast(allowed), col(tag) === col("_allowed_tag"), "left")
+      .withColumn(tag, when(col("_allowed_tag").isNull, lit(null: String)).otherwise(col(tag)))
+      .drop("_allowed_tag")
+  }
+
+  /** `log_to_metric` histogram mode (reference: log_to_metric.rs:101-123 —
+    * derive an AggregatedHistogram: cumulative bucket counts + count + sum).
+    */
+  def logToMetricHistogram(df: DataFrame, tags: Seq[String], value: Column,
+                           buckets: Seq[Double]): DataFrame = {
+    val bucketAggs = buckets.map(b =>
+      sum(when(value <= b, 1L).otherwise(0L)).as(s"le_${b.toString.replace('.', '_')}"))
+    df.groupBy(tags.map(col): _*)
+      .agg(bucketAggs.head, bucketAggs.tail ++ Seq(
+        count(lit(1)).as("count"), round(sum(value), 2).as("sum")): _*)
+  }
 }
