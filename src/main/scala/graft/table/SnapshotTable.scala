@@ -35,7 +35,7 @@ final class SnapshotTable(val root: String) {
   private val currentFile: Path = snapsDir.resolve("CURRENT")
 
   final case class Manifest(version: Int, jobId: String, dataDir: String,
-                            committedAtMs: Long)
+                            committedAtMs: Long, kind: String = "append")
 
   private def ensureDirs(): Unit = {
     Files.createDirectories(snapsDir)
@@ -51,7 +51,7 @@ final class SnapshotTable(val root: String) {
 
   private def writeJson(m: Manifest): Unit = {
     val json =
-      s"""{"version":${m.version},"jobId":"${m.jobId}","dataDir":"${m.dataDir}","committedAtMs":${m.committedAtMs}}"""
+      s"""{"version":${m.version},"jobId":"${m.jobId}","dataDir":"${m.dataDir}","committedAtMs":${m.committedAtMs},"kind":"${m.kind}"}"""
     val tmp = snapsDir.resolve(s".v${m.version}.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE,
@@ -61,13 +61,15 @@ final class SnapshotTable(val root: String) {
   private val VField = """"version":(\d+)""".r.unanchored
   private val JField = """"jobId":"([^"]*)"""".r.unanchored
   private val DField = """"dataDir":"([^"]*)"""".r.unanchored
+  private val KField = """"kind":"([^"]*)"""".r.unanchored
 
   private def readManifest(v: Int): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
     val ver = VField.findFirstMatchIn(s).get.group(1).toInt
     val job = JField.findFirstMatchIn(s).get.group(1)
     val dir = DField.findFirstMatchIn(s).get.group(1)
-    Manifest(ver, job, dir, 0L)
+    val kind = KField.findFirstMatchIn(s).map(_.group(1)).getOrElse("append")
+    Manifest(ver, job, dir, 0L, kind)
   }
 
   /** Manifests of all committed snapshots, oldest first. */
@@ -98,15 +100,83 @@ final class SnapshotTable(val root: String) {
   /** Read the table as of the CURRENT snapshot (union of all committed
     * snapshot data dirs; uncommitted/orphaned dirs are invisible).
     */
-  def read(spark: SparkSession): Option[DataFrame] = {
+  def read(spark: SparkSession): Option[DataFrame] = readAsOf(spark, currentVersion)
+
+  /** Time-travel read: table state as of snapshot `version` (Iceberg
+    * `VERSION AS OF`). A `rewrite` snapshot (see [[compact]]) supersedes
+    * everything before it, so reads start at the latest rewrite ≤ version.
+    */
+  def readAsOf(spark: SparkSession, version: Int): Option[DataFrame] = {
     // an empty df commit yields a dir with only _SUCCESS — no schema to infer
     def hasParquet(p: Path): Boolean =
       Files.walk(p).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-    val dirs = snapshots.map(_.dataDir).filter(d => hasParquet(Paths.get(d)))
+    val upTo = snapshots.filter(_.version <= version)
+    val fromRewrite = upTo.lastIndexWhere(_.kind == "rewrite") match {
+      case -1 => upTo
+      case i => upTo.drop(i)
+    }
+    val dirs = fromRewrite.map(_.dataDir).filter(d => hasParquet(Paths.get(d)))
     // per-dir reads unioned: each snapshot dir is its own partition-discovery
     // root (a multi-path read would see "conflicting directory structures")
     if (dirs.isEmpty) None
     else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
+  /** Compaction: rewrite the current table state into ONE snapshot marked
+    * `rewrite` — later reads touch a single data dir (the small-files
+    * problem at 10^12 rows is fatal without this). Old snapshots stay on
+    * disk for time travel until [[expireSnapshots]].
+    */
+  def compact(spark: SparkSession, jobId: String,
+              partitionBy: Seq[String] = Nil): Boolean = {
+    read(spark) match {
+      case None => false
+      case Some(df) =>
+        ensureDirs()
+        if (committedJobIds.contains(jobId)) return false
+        val v = currentVersion + 1
+        val dir = s"$root/data/" + f"snap-$v%05d-$jobId"
+        val writer = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(dir)
+        writeJson(Manifest(v, jobId, dir, System.currentTimeMillis(), kind = "rewrite"))
+        val tmp = snapsDir.resolve(".CURRENT.tmp")
+        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        true
+    }
+  }
+
+  /** Delete data dirs superseded by the latest rewrite snapshot (Iceberg
+    * `expire_snapshots`). Time travel before the rewrite stops working;
+    * current reads are unaffected.
+    */
+  def expireSnapshots(): Int = {
+    val snaps = snapshots
+    val lastRewrite = snaps.lastIndexWhere(_.kind == "rewrite")
+    if (lastRewrite <= 0 && (lastRewrite != 0 || snaps.isEmpty)) return 0
+    val dead = snaps.take(lastRewrite)
+    dead.foreach { m =>
+      val p = Paths.get(m.dataDir)
+      if (Files.exists(p)) {
+        def rm(x: Path): Unit = {
+          if (Files.isDirectory(x)) Files.list(x).iterator().asScala.foreach(rm)
+          Files.deleteIfExists(x)
+        }
+        rm(p)
+      }
+    }
+    dead.size
+  }
+
+  /** File-level table stats per snapshot: (version, kind, files, bytes). */
+  def stats: Seq[(Int, String, Long, Long)] = snapshots.map { m =>
+    val p = Paths.get(m.dataDir)
+    val files =
+      if (!Files.exists(p)) Seq.empty
+      else Files.walk(p).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
+    (m.version, m.kind, files.size.toLong, files.map(Files.size).sum)
   }
 
   /** Drop everything (test helper). */

@@ -59,4 +59,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(spark).get.count() == 1)
     t.destroy()
   }
+
+  test("time travel: readAsOf returns the historical state") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq((1, "a")).toDF("k", "v"), "j1")
+    t.append(Seq((2, "b")).toDF("k", "v"), "j2")
+    t.append(Seq((3, "c")).toDF("k", "v"), "j3")
+    assert(t.readAsOf(spark, 1).get.count() == 1)
+    assert(t.readAsOf(spark, 2).get.count() == 2)
+    assert(t.read(spark).get.count() == 3)
+    t.destroy()
+  }
+
+  test("compact: one rewrite snapshot, same rows, single data dir; expire drops history") {
+    val t = new SnapshotTable(tmp())
+    (1 to 4).foreach(i => t.append(Seq((i, s"r$i")).toDF("k", "v"), s"j$i"))
+    assert(t.compact(spark, "compact-1"))
+    assert(t.read(spark).get.as[(Int, String)].collect().toSet ==
+      (1 to 4).map(i => (i, s"r$i")).toSet)
+    // compaction is idempotent by jobId too
+    assert(!t.compact(spark, "compact-1"))
+    // reads after compaction touch only the rewrite snapshot
+    assert(t.stats.last._2 == "rewrite")
+    val expired = t.expireSnapshots()
+    assert(expired == 4)
+    assert(t.read(spark).get.count() == 4) // current read unaffected
+    // appends continue on top of the rewrite
+    t.append(Seq((5, "r5")).toDF("k", "v"), "j5")
+    assert(t.read(spark).get.count() == 5)
+    t.destroy()
+  }
 }
