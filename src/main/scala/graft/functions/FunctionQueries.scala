@@ -128,6 +128,23 @@ object FunctionQueries {
         V.syslogFacility(pri).as("facility"))
     }),
 
+    // ---- grok parse of an apache-common-log-style line (parse_apache_log /
+    //      parse_common_log family) via the native single-pass expression ----
+    "f_parse_grok_log" -> ((s, dir) => {
+      val line = concat(
+        lit("10."), pmod(col("user_id"), lit(256)), lit(".0.7 - "),
+        upper(substring(col("event_type"), 1, 3)), lit(" /"), col("event_type"),
+        lit("/"), pmod(col("event_id"), lit(100)),
+        lit(" "), element_at(array(lit(200), lit(404), lit(500)),
+          (pmod(col("event_id"), lit(3)) + 1).cast("int")),
+        lit(" "), pmod(col("event_id"), lit(4096)))
+      val pat = graft.parse.Grok.compile(
+        "%{IP:clientip} - %{WORD:verb} %{NOTSPACE:path} %{INT:status:int} %{INT:bytes:int}")
+      graft.parse.Grok.parse(ev(s, dir).withColumn("_line", line), col("_line"), pat)
+        .select(col("event_id"), col("_parse_ok").as("parse_ok"),
+          col("clientip"), col("verb"), col("path"), col("status"), col("bytes"))
+    }),
+
     // ---- collections (higher-order fns over split arrays) ----
     "f_collections" -> ((s, dir) => {
       val arr = split(concat_ws(" ", col("event_type"), col("event_type"), lit("x"),
@@ -226,6 +243,19 @@ object FunctionQueries {
         | CAST((event_id % 192) % 8 AS INT) AS sev_rt,
         | CAST((event_id % 192) // 8 AS INT) AS facility
         |FROM events""".stripMargin,
+
+    "f_parse_grok_log" -> {
+      val line = "('10.' || (user_id % 256) || '.0.7 - ' || upper(substr(event_type,1,3)) || ' /' " +
+        "|| event_type || '/' || (event_id % 100) || ' ' || " +
+        "(CASE (event_id % 3) WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 500 END) || ' ' || (event_id % 4096))"
+      s"""SELECT event_id, true AS parse_ok,
+         | regexp_extract($line, '^(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}) ', 1) AS clientip,
+         | upper(substr(event_type,1,3)) AS verb,
+         | ('/' || event_type || '/' || (event_id % 100)) AS path,
+         | CAST((CASE (event_id % 3) WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 500 END) AS BIGINT) AS status,
+         | CAST((event_id % 4096) AS BIGINT) AS bytes
+         |FROM events""".stripMargin
+    },
 
     "f_collections" -> {
       val arr = "string_split(event_type || ' ' || event_type || ' x ' || (user_id % 5), ' ')"

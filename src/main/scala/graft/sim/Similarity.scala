@@ -41,12 +41,15 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, id: Column, vec: Column,
                      threshold: Double, nBits: Int = 0): DataFrame = {
+    // norms computed ONCE per vector before the pair join — recomputing
+    // them per pair would fold each vector O(candidates) times
     val base = df.select(id.as("id"), vec.as("v"))
       .withColumn("bucket", if (nBits == 0) lit(0L) else signBucket(col("v"), nBits))
-    val l = base.select(col("bucket"), col("id").as("id_l"), col("v").as("v_l"))
-    val r = base.select(col("bucket"), col("id").as("id_r"), col("v").as("v_r"))
+      .withColumn("nrm", norm(col("v")))
+    val l = base.select(col("bucket"), col("id").as("id_l"), col("v").as("v_l"), col("nrm").as("n_l"))
+    val r = base.select(col("bucket"), col("id").as("id_r"), col("v").as("v_r"), col("nrm").as("n_r"))
     l.join(r, Seq("bucket")).filter(col("id_l") < col("id_r"))
-      .withColumn("cos", round(cosine(col("v_l"), col("v_r")), 6))
+      .withColumn("cos", round(dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_l"), col("id_r"), col("cos")).distinct()
   }
@@ -57,10 +60,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: Column, vec: Column, k: Int): DataFrame = {
-    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
-    val q = queries.select(id.as("query_id"), vec.as("q_v"))
+    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"), norm(vec).as("n_c"))
+    val q = queries.select(id.as("query_id"), vec.as("q_v"), norm(vec).as("n_q"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", round(cosine(col("q_v"), col("nbr_v")), 6))
+      .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) / (col("n_q") * col("n_c")), 6))
+      .drop("n_q", "n_c")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
@@ -104,7 +108,8 @@ object Similarity {
         explode(array(col("bucket") +: (0 until nBits).map(j =>
           col("bucket").bitwiseXOR(lit(1L << j))): _*)))
     val scored = c.join(q, Seq("bucket")).filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", round(cosine(col("q_v"), col("nbr_v")), 6))
+      .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) /
+        (norm(col("q_v")) * norm(col("nbr_v"))), 6))
       .select(col("query_id"), col("nbr_id"), col("cos")).distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

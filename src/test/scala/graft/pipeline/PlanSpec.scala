@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Gen, GenConfig}
+
+/** Physical-plan shape assertions — the properties that decide whether the
+  * job survives a 100× scale-up: column pruning reaches the scan, the
+  * enrich join broadcasts, the parse stage stays narrow, filters push down.
+  */
+class PlanSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("planspec").toString + "/tok"
+    Gen.tokenseq(spark, GenConfig(rows = 5000, parts = 4)).write.parquet(d)
+    d
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("countersOnly prunes the tokens column out of the parquet scan") {
+    val p = plan(TokenPipeline.countersOnly(spark.read.parquet(dir), Gen.sourceAttrs(spark)))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      fail(s"no ReadSchema in plan:\n$p"))
+    assert(!readSchema.contains("tokens"), s"tokens not pruned: $readSchema")
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_tok"))
+  }
+
+  test("enrich is a broadcast hash join — never a shuffled join") {
+    val p = plan(graft.enrich.Enrich.lookup(
+      spark.read.parquet(dir), Gen.sourceAttrs(spark), Seq("source")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("parse stage is a narrow map: no Exchange in the plan") {
+    val p = plan(graft.parse.Grok.parse(
+      spark.read.parquet(dir), col("doc_id"), TokenPipeline.DocIdGrok))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("filter transform pushes its predicate into the scan") {
+    val p = plan(spark.read.parquet(dir).filter(col("source") === "web")
+      .select(col("doc_id")))
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse(
+      fail(s"no PushedFilters in plan:\n$p"))
+    assert(scanLine.contains("EqualTo(source,web)"), scanLine)
+  }
+
+  test("full dataflow keeps one shuffle: the counters aggregation") {
+    val df = TokenPipeline.countersOnly(spark.read.parquet(dir), Gen.sourceAttrs(spark))
+    val exchanges = plan(df).linesIterator.count(_.trim.startsWith("+- Exchange"))
+    // one hash-partitioning exchange for groupBy(sink, source); AQE may add
+    // a read stage but not extra shuffles
+    assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n${plan(df)}")
+  }
+
+  test("whole-stage codegen covers the parse+enrich+remap pipeline") {
+    val (flagged, _) = TokenPipeline.dataflow(
+      spark.read.parquet(dir), Gen.sourceAttrs(spark), 1024)
+    flagged.queryExecution.toRdd.count() // finalize the adaptive plan
+    val formatted = flagged.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("codegen id"), formatted)
+  }
+}
