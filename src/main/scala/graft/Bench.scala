@@ -28,7 +28,7 @@ object Bench {
     // north-rule scaling evidence (pinned child JVMs; skipped gracefully if
     // the environment can't spawn them)
     val scaling = scala.util.Try {
-      val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+      val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
       val r = ScalingBench.measure(rows, maxTok = 256, dir = "/tmp/graft_scaling_input")
       ScalingBench.json(rows, r)
     }.toOption

@@ -65,12 +65,8 @@ object DataOpsQueries {
 
   // ---------- hyperplane signs for embedding LSH (shared source of truth) ----------
 
-  /** JVM-side twin of [[Similarity]]'s planeSign: parity of h15("j:i"). */
-  def planeSignJvm(j: Int, i: Int): Double = {
-    val mdig = java.security.MessageDigest.getInstance("MD5")
-    val hex = mdig.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
-  }
+  /** Hyperplane signs — same source of truth as the Spark side. */
+  def planeSignJvm(j: Int, i: Int): Double = Similarity.planeSignJvm(j, i)
 
   private val EmbedDim = 64
   private val EmbedBits = 4

@@ -26,10 +26,15 @@ import graft.text.Hashing
   */
 object Similarity {
 
-  /** Deterministic element-order dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Deterministic element-order dot product in double precision, via the
+    * native codegen'd [[DotProduct]] expression (the equivalent
+    * `aggregate(zip_with(...))` higher-order form interprets its lambda
+    * per element — ~10× slower on 64-dim embeddings).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -51,7 +56,9 @@ object Similarity {
     l.join(r, Seq("bucket")).filter(col("id_l") < col("id_r"))
       .withColumn("cos", round(dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")), 6))
       .filter(col("cos") >= threshold)
-      .select(col("id_l"), col("id_r"), col("cos")).distinct()
+      // each vector lives in exactly ONE bucket, so pairs are already
+      // unique — a distinct here would add a full shuffle for nothing
+      .select(col("id_l"), col("id_r"), col("cos"))
   }
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
@@ -73,22 +80,34 @@ object Similarity {
   /** Random-hyperplane sign bucket: bit j = sign of <v, r_j> where r_j is a
     * deterministic ±1 hyperplane derived from the cross-engine hash of
     * `(j, i)` — reproducible everywhere, no stored model. Narrow map.
+    *
+    * The signs are PLAN-TIME constants, so each projection is a native
+    * [[DotProduct]] against an array literal (the per-element
+    * hash-in-a-lambda formulation cost one md5 per dimension per row).
+    * Literals carry [[MaxDim]] signs; `DotProduct` stops at the shorter
+    * array, so any vector length ≤ MaxDim works.
     */
-  def signBucket(vec: Column, nBits: Int): Column =
+  def signBucket(vec: Column, nBits: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
     (0 until nBits).map { j =>
-      val proj = aggregate(
-        transform(vec, (x, i) =>
-          x.cast("double") * planeSign(j, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val signs = lit((0 until MaxDim).map(i => planeSignJvm(j, i)).toArray)
+      val proj = Bridge.column(DotProduct(Bridge.expression(vec), Bridge.expression(signs)))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
-  /** ±1 pseudo-random hyperplane component for (plane j, dim i):
-    * parity of the shared 60-bit hash of "j:i".
+  /** Max supported embedding dimensionality for LSH sign buckets. */
+  val MaxDim = 1024
+
+  /** ±1 hyperplane component for (plane j, dim i): parity of the shared
+    * 60-bit md5-prefix hash of "j:i" — the JVM twin of [[Hashing.h15]],
+    * identically computable in the DuckDB oracle.
     */
-  private def planeSign(j: Int, i: Column): Column =
-    when(pmod(Hashing.h15(concat(lit(j.toString), lit(":"), i.cast("string"))), lit(2L)) === 0L,
-      lit(1.0)).otherwise(lit(-1.0))
+  def planeSignJvm(j: Int, i: Int): Double = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val hex = mdig.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+  }
 
   /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
     * Probabilistic recall (multiprobe = flip 1 bit to widen); the
