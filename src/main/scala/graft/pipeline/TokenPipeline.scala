@@ -49,15 +49,22 @@ object TokenPipeline {
     * (flagged main lane, dropped lane).
     */
   def dataflow(input: DataFrame, attrs: DataFrame, longMin: Int): (DataFrame, DataFrame) = {
+    // Stage row counters ride the main lane as observe() metrics — the
+    // component_received/sent_events_total analog (docs/specs/component.md:
+    // 125,223): zero-shuffle CollectMetrics, resolved when the lane
+    // materializes; read back via queryExecution.observedMetrics.
     // ---- parse (vectorized grok over doc_id; remap.rs parse family) ----
-    val parsed = Grok.parse(input, col("doc_id"), DocIdGrok)
+    val parsed = Grok.parse(
+      input.observe("parse_in", count(lit(1)).as("rows")), col("doc_id"), DocIdGrok)
     val parseOk = parsed.filter(col("_parse_ok")).drop("_parse_ok")
+      .observe("parse_out", count(lit(1)).as("rows"))
     val parseDropped = parsed.filter(!col("_parse_ok"))
       .select(col("doc_id"), col("source"), lit("parse_error").as("drop_reason"),
         lit("parse").as("component_id"))
 
     // ---- enrich (broadcast lookup, strict; lib/enrichment find_table_row) ----
-    val (enriched, enrichDropped0) = Enrich.strict(parseOk, attrs, Seq("source"), "region")
+    val (enriched0, enrichDropped0) = Enrich.strict(parseOk, attrs, Seq("source"), "region")
+    val enriched = enriched0.observe("enrich_out", count(lit(1)).as("rows"))
     val enrichDropped = enrichDropped0.select(col("doc_id"), col("source"),
       col("drop_reason"), col("component_id"))
 
@@ -70,7 +77,8 @@ object TokenPipeline {
       .set("tok_sum", aggregate(col("tokens"), lit(0L), (acc, x) => acc + x))
       .set("quota_frac", col("n_tok").cast("double") / col("quota_toks"))
       .abortWhen(pmod(col("seq"), lit(AbortModulus)) === 0, "vrl_abort")
-    val Remap.RemapResult(remapped, remapDropped0) = remap.run(enriched)
+    val Remap.RemapResult(remapped0, remapDropped0) = remap.run(enriched)
+    val remapped = remapped0.observe("remap_out", count(lit(1)).as("rows"))
     val remapDropped = remapDropped0.select(col("doc_id"), col("source"),
       col("drop_reason"), col("component_id"))
 
@@ -146,8 +154,9 @@ object TokenPipeline {
       .map(_.groupBy(col("drop_reason")).agg(count(lit(1)).as("n")))
       .getOrElse(spark.emptyDataFrame)
 
-    val metrics = Map("route_in" ->
-      flagged.queryExecution.observedMetrics.get("route_in").map(_.getLong(0)).getOrElse(-1L))
+    val observed = flagged.queryExecution.observedMetrics
+    val metrics = Seq("parse_in", "parse_out", "enrich_out", "remap_out", "route_in")
+      .map(n => n -> observed.get(n).map(_.getLong(0)).getOrElse(-1L)).toMap
 
     flagged.unpersist()
     Result(counters, droppedCounts, lineage, metrics, sinks)

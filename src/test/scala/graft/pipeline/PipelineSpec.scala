@@ -42,6 +42,15 @@ class PipelineSpec extends SparkSpec {
     // lineage: total rows across partitions == observed route_in metric
     val lineageTotal = res.lineage.agg(sum("rows")).as[Long].head()
     assert(lineageTotal == res.stageMetrics("route_in"))
+    // stage-count conservation: rows_out(stage k) == rows_in(stage k+1),
+    // and each stage's loss equals the oracle's dropped lane for it
+    val m = res.stageMetrics
+    val d = oracle.droppedByReason
+    assert(m("parse_in") == cfg.rows)
+    assert(m("parse_in") - m("parse_out") == d.getOrElse("parse_error", 0L))
+    assert(m("parse_out") - m("enrich_out") == d.getOrElse("enrich_miss", 0L))
+    assert(m("enrich_out") - m("remap_out") == d.getOrElse("vrl_abort", 0L))
+    assert(m("remap_out") == m("route_in"))
   }
 
   test("routed rows: token-array equality per sink (north-star invariant)") {
