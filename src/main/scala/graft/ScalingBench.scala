@@ -72,7 +72,7 @@ object ScalingBench {
       // best of N timed passes — the shared sandbox host is noisy and a
       // single sample can be off 2×; the fastest pass is the closest to the
       // machine's true capability at this core count
-      val passes = if (cores >= 8) 3 else 2
+      val passes = 3
       val (secs, routed) = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val r = pipeline()
