@@ -145,6 +145,38 @@ object FunctionQueries {
           col("clientip"), col("verb"), col("path"), col("status"), col("bytes"))
     }),
 
+    // ---- syslog RFC3164 line parse via grok (parse_syslog family) ----
+    "f_parse_syslog" -> ((s, dir) => {
+      val line = concat(
+        lit("<"), pmod(col("event_id"), lit(192)), lit(">Jan "),
+        (pmod(col("user_id"), lit(19)) + 10), lit(" 12:00:"),
+        lpad(pmod(col("event_id"), lit(60)).cast("string"), 2, "0"),
+        lit(" h"), pmod(col("user_id"), lit(50)), lit(" "), col("event_type"),
+        lit("["), pmod(col("event_id"), lit(30000)), lit("]: login from 10.0.0."),
+        pmod(col("event_id"), lit(256)))
+      val pat = graft.parse.Grok.compile(
+        "<%{POSINT:pri:int}>%{SYSLOGTIMESTAMP:ts_txt} %{HOSTNAME:host} %{PROG:prog}[%{POSINT:pid:int}]: %{GREEDYDATA:msg}")
+      graft.parse.Grok.parse(ev(s, dir).withColumn("_line", line), col("_line"), pat)
+        .select(col("event_id"), col("_parse_ok").as("parse_ok"),
+          col("pri"), col("ts_txt"), col("host"), col("prog"), col("pid"), col("msg"))
+    }),
+
+    // ---- map functions (VRL map_keys/map_values/merge over parsed kv) ----
+    "f_maps" -> ((s, dir) => {
+      val m = V.parseKeyValue(logfmtLine)
+      ev(s, dir).select(col("event_id"),
+        element_at(transform_keys(m, (k, _) => upper(k)), "EV").as("mk_up"),
+        element_at(transform_values(m, (_, v) => concat(v, lit("!"))), "ev").as("mv_bang"),
+        element_at(map_concat(m, map(lit("extra"), lit("z"))), "extra").as("merged"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+        size(flatten(array(split(col("event_type"), "i", -1), array(lit("x"))))).cast("long")
+          .as("flat_n"),
+        aggregate(zip_with(array(lit(1), lit(2), lit(3)),
+          array(pmod(col("event_id"), lit(5)), lit(0), lit(1)),
+          (x, y) => x * y), lit(0L), (a, x) => a + x).as("zip_dot"))
+    }),
+
     // ---- collections (higher-order fns over split arrays) ----
     "f_collections" -> ((s, dir) => {
       val arr = split(concat_ws(" ", col("event_type"), col("event_type"), lit("x"),
@@ -256,6 +288,27 @@ object FunctionQueries {
          | CAST((event_id % 4096) AS BIGINT) AS bytes
          |FROM events""".stripMargin
     },
+
+    "f_parse_syslog" ->
+      """SELECT event_id, true AS parse_ok,
+        | CAST(event_id % 192 AS BIGINT) AS pri,
+        | ('Jan ' || (user_id % 19 + 10) || ' 12:00:' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')) AS ts_txt,
+        | ('h' || (user_id % 50)) AS host,
+        | event_type AS prog,
+        | CAST(event_id % 30000 AS BIGINT) AS pid,
+        | ('login from 10.0.0.' || (event_id % 256)) AS msg
+        |FROM events""".stripMargin,
+
+    "f_maps" ->
+      """SELECT event_id,
+        | event_type AS mk_up,
+        | (event_type || '!') AS mv_bang,
+        | 'z' AS merged,
+        | CAST(3 AS BIGINT) AS n_keys,
+        | 'ev,id,user' AS keys_sorted,
+        | len(flatten([string_split(event_type, 'i'), ['x']])) AS flat_n,
+        | CAST(1 * (event_id % 5) + 2 * 0 + 3 * 1 AS BIGINT) AS zip_dot
+        |FROM events""".stripMargin,
 
     "f_collections" -> {
       val arr = "string_split(event_type || ' ' || event_type || ' x ' || (user_id % 5), ' ')"

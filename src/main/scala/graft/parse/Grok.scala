@@ -33,6 +33,8 @@ object Grok {
     "UUID" -> "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
     "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
     "LOGLEVEL" -> "(?i:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} {1,2}\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
+    "PROG" -> "[\\w._/-]+",
     "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)",
     "QS" -> "\"[^\"]*\"")
 

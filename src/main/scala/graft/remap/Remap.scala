@@ -37,6 +37,18 @@ final case class Remap(ops: Vector[Remap.Op] = Vector.empty, componentId: String
   /** Fan-out: replace the row with one row per element of `arrayCol`. */
   def fanOut(name: String, arrayCol: Column): Remap = copy(ops = ops :+ FanOut(name, arrayCol))
 
+  /** VRL `del(.field)` — drop a column. */
+  def del(name: String): Remap = copy(ops = ops :+ Del(name))
+
+  /** VRL field move: `.to = .from; del(.from)`. */
+  def rename(from: String, to: String): Remap = copy(ops = ops :+ Rename(from, to))
+
+  /** VRL `merge(., obj)` over a struct column: lift every field of the
+    * struct to a top-level column (keeps the struct column itself out).
+    */
+  def mergeStruct(structCol: String, fields: Seq[String]): Remap =
+    fields.foldLeft(this)((r, f) => r.set(f, col(structCol).getField(f))).del(structCol)
+
   /** Run the program. Returns (main, dropped); `dropped` carries the
     * reroute_dropped metadata columns and excludes silently-filtered rows.
     * Both are branches of one plan — persist upstream if consuming both.
@@ -55,6 +67,8 @@ final case class Remap(ops: Vector[Remap.Op] = Vector.empty, componentId: String
         // explode_outer: aborted rows carry a null array and must survive
         // the fan-out to reach the dropped port
         d.withColumn(name, explode_outer(when(col(ReasonCol).isNull, arr)))
+      case (d, Del(name)) => d.drop(name)
+      case (d, Rename(from, to)) => d.withColumnRenamed(from, to)
     }
     val main = out.filter(col(ReasonCol).isNull).drop(ReasonCol)
     val dropped = out.filter(col(ReasonCol).isNotNull && col(ReasonCol) =!= FilteredReason)
@@ -71,6 +85,8 @@ object Remap {
   final case class Set(name: String, value: Column) extends Op
   final case class AbortWhen(cond: Column, reason: String) extends Op
   final case class FanOut(name: String, arrayCol: Column) extends Op
+  final case class Del(name: String) extends Op
+  final case class Rename(from: String, to: String) extends Op
 
   val ReasonCol = "_remap_reason"
   val FilteredReason = "_filtered"
