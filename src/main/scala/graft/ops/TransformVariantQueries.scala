@@ -47,6 +47,18 @@ object TransformVariantQueries {
         .withColumn("flat_unique_s", array_join(array_sort(col("flat_unique_s")), ","))
     }),
 
+    // ---- reduce session semantics: ends_when / starts_when ----
+    "v_reduce_ends_when" -> ((s, dir) => {
+      Transforms.reduceSessionsEndsWhen(ev(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type") === "purchase",
+        col("ts"), round(col("value"), 2))
+    }),
+    "v_reduce_starts_when" -> ((s, dir) => {
+      Transforms.reduceSessionsStartsWhen(ev(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type") === "signup",
+        col("ts"), round(col("value"), 2))
+    }),
+
     // ---- window + forward_when (window/config.rs:44-50) ----
     "v_window_forward" -> ((s, dir) => {
       Transforms.contextWindowForward(ev(s, dir), col("user_id"),
@@ -111,6 +123,26 @@ object TransformVariantQueries {
         | string_agg(event_type, ' ' ORDER BY ts, event_id) AS concat_s,
         | list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',') AS flat_unique_s
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "v_reduce_ends_when" ->
+      """SELECT user_id AS key, session, count(*) AS n, min(ts) AS first_ts,
+        | max(ts) AS last_ts, round(sum(round(value,2)), 2) AS sum_v
+        |FROM (
+        |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session
+        |  FROM events)
+        |GROUP BY user_id, session""".stripMargin,
+
+    "v_reduce_starts_when" ->
+      """SELECT user_id AS key, session, count(*) AS n, min(ts) AS first_ts,
+        | max(ts) AS last_ts, round(sum(round(value,2)), 2) AS sum_v
+        |FROM (
+        |  SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM events)
+        |GROUP BY user_id, session""".stripMargin,
 
     "v_window_forward" ->
       """SELECT event_id FROM (

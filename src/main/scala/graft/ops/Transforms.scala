@@ -213,6 +213,36 @@ object Transforms {
           .as("flat_unique_s"))
   }
 
+  /** `reduce` session semantics (reference: reduce/config.rs:45-57 —
+    * merge consecutive events per key until `ends_when` matches; the
+    * matching event closes its session). Batch analog: session index =
+    * count of closers among strictly-preceding rows, then a hash aggregate
+    * on (key, session). One window pass + one shuffle.
+    */
+  def reduceSessionsEndsWhen(df: DataFrame, key: Column, order: Seq[Column],
+                             endsWhen: Column, ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_sess",
+      coalesce(sum(when(endsWhen, 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(key.as("key"), col("_sess").as("session"))
+      .agg(count(lit(1)).as("n"), min(ts).as("first_ts"), max(ts).as("last_ts"),
+        round(sum(value), 2).as("sum_v"))
+  }
+
+  /** `reduce` with `starts_when` (reference: reduce/config.rs:52-57 — a
+    * matching event OPENS a new session, i.e. increments at the row itself).
+    */
+  def reduceSessionsStartsWhen(df: DataFrame, key: Column, order: Seq[Column],
+                               startsWhen: Column, ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_sess", sum(when(startsWhen, 1L).otherwise(0L)).over(w))
+      .groupBy(key.as("key"), col("_sess").as("session"))
+      .agg(count(lit(1)).as("n"), min(ts).as("first_ts"), max(ts).as("last_ts"),
+        round(sum(value), 2).as("sum_v"))
+  }
+
   /** `window` with `forward_when` bypass (reference: window/config.rs:44-50
     * — matching events always pass, independent of the ring buffer).
     */
