@@ -79,6 +79,30 @@ object TransformVariantQueries {
         col("value"), Seq(50.0, 100.0, 150.0, 200.0))
     }),
 
+    // ---- log_to_metric gauge/set/summary modes (log_to_metric.rs:42-78:
+    //      Gauge = latest by arrival, Set = distinct values, Summary =
+    //      count/sum/quantiles) ----
+    "v_log_to_metric_modes" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          max_by(round(col("value"), 2),
+            struct(col("ts"), col("event_id"))).as("gauge_last"),
+          size(collect_set(col("user_id"))).cast("long").as("set_n"),
+          count(lit(1)).as("count"),
+          round(sum(col("value")), 2).as("sum"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    }),
+
+    // ---- remap fan-out: one event → N events (remap.rs:604-611) ----
+    "v_remap_fanout" -> ((s, dir) => {
+      val parts = split(concat(col("event_type"), lit(",x"),
+        pmod(col("event_id"), lit(3))), ",", -1)
+      val graft.remap.Remap.RemapResult(main, _) =
+        graft.remap.Remap().fanOut("part", parts).run(ev(s, dir))
+      main.select(col("event_id"), col("part"))
+    }),
+
     // ---- json codec: encode (to_json) + decode (from_json) round trip ----
     "v_json_codec" -> ((s, dir) => {
       val j = to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
@@ -170,6 +194,19 @@ object TransformVariantQueries {
         | sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS le_200_0,
         | count(*) AS count, round(sum(value), 2) AS sum
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "v_log_to_metric_modes" ->
+      """SELECT event_type,
+        | (list(round(value,2) ORDER BY ts DESC, event_id DESC))[1] AS gauge_last,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS set_n,
+        | count(*) AS count, round(sum(value), 2) AS sum,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "v_remap_fanout" ->
+      """SELECT event_id, unnest(string_split(event_type || ',x' || (event_id % 3), ',')) AS part
+        |FROM events""".stripMargin,
 
     "v_json_codec" ->
       """SELECT event_id,

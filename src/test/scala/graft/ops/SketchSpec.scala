@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sketch/approximate operators — the analogs of the reference's
+  * probabilistic machinery (DDSketch metric values,
+  * lib/vector-core/src/event/metric/value.rs:20-82; Bloom-filter
+  * tag_cardinality_limit probabilistic mode,
+  * tag_cardinality_limit/config.rs:56-83). Approximation quality is
+  * engine-specific, so these are spec-verified against exact answers
+  * rather than DuckDB-oracled.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = spark.range(0, 100000).select(
+    col("id"),
+    pmod(xxhash64(col("id")), lit(5000)).as("key"),
+    (pmod(xxhash64(col("id"), lit(1)), lit(100000)).cast("double") / 100).as("v"))
+    .cache()
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = df.select(countDistinct(col("key"))).as[Long].head()
+    val approx = df.select(approx_count_distinct(col("key"), 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx within 2% of exact percentile (DDSketch analog)") {
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val exact = df.select(expr(s"percentile(v, $p)")).as[Double].head()
+      val approx = df.select(expr(s"percentile_approx(v, $p, 1000)")).as[Double].head()
+      assert(math.abs(approx - exact) / exact < 0.02, s"p=$p approx=$approx exact=$exact")
+    }
+  }
+
+  test("bloom filter: zero false negatives, bounded false positives") {
+    val bloom = df.stat.bloomFilter("key", 5000, 0.03)
+    // no false negatives: every present key must test positive
+    val present = df.select(col("key")).distinct().as[Long].collect()
+    assert(present.forall(bloom.mightContain))
+    // false positive rate on definitely-absent keys stays near the target
+    val absent = (1000000L until 1010000L)
+    val fp = absent.count(bloom.mightContain).toDouble / absent.size
+    assert(fp < 0.06, s"fp rate $fp")
+  }
+}
