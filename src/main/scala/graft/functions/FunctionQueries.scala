@@ -83,7 +83,8 @@ object FunctionQueries {
         V.redact(concat(lit("user="), col("user_id")), "\\d+").as("redacted"),
         V.matchRe(t, "^(error|signup)$").as("is_alert"),
         V.snakecase(concat(t, lit(" case"))).as("snake"),
-        V.camelcase(concat(t, lit("_case_x"))).as("camel"))
+        V.camelcase(concat(t, lit("_case_x"))).as("camel"),
+        levenshtein(t, lit("error")).cast("long").as("lev_err"))
     }),
 
     // ---- codec / hash family ----
@@ -233,7 +234,8 @@ object FunctionQueries {
         | lower(replace(event_type || ' case', ' ', '_')) AS snake,
         | list_aggregate(list_transform(string_split(lower(event_type || '_case_x'), '_'),
         |    w -> CASE WHEN w = string_split(lower(event_type || '_case_x'), '_')[1]
-        |         THEN w ELSE upper(substr(w,1,1)) || substr(w,2) END), 'string_agg', '') AS camel
+        |         THEN w ELSE upper(substr(w,1,1)) || substr(w,2) END), 'string_agg', '') AS camel,
+        | CAST(levenshtein(event_type, 'error') AS BIGINT) AS lev_err
         |FROM events""".stripMargin,
 
     "f_codec" ->

@@ -86,7 +86,9 @@ final class SnapshotTable(val root: String) {
     if (committedJobIds.contains(jobId)) return false
     val v = currentVersion + 1
     val dir = s"$root/data/" + f"snap-$v%05d-$jobId"
-    val writer = df.write.mode("overwrite")
+    // zstd: ~30-40% smaller than snappy on token arrays at similar decode
+    // speed — at 100 TB the storage/IO saving dominates the cpu cost
+    val writer = df.write.mode("overwrite").option("compression", "zstd")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(dir)
     writeJson(Manifest(v, jobId, dir, System.currentTimeMillis()))
     // atomic pointer flip = the commit point

@@ -106,6 +106,23 @@ class PipelineSpec extends SparkSpec {
     assert(digest(2) == digest(32))
   }
 
+  test("salting defuses the hot-source shuffle partition") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64, spark_partition_id, count}
+    val df = Gen.tokenseq(spark, cfg).toDF()
+    def maxPartFrac(d: org.apache.spark.sql.DataFrame): Double = {
+      val counts = d.groupBy(spark_partition_id()).count().as[(Int, Long)].collect()
+      counts.map(_._2).max.toDouble / counts.map(_._2).sum
+    }
+    // explicit partition count: AQE would otherwise coalesce this small
+    // shuffle into one partition and hide the skew
+    val unsalted = maxPartFrac(df.repartition(48, col("source")))
+    val salted = maxPartFrac(df
+      .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(8)))
+      .repartition(48, col("source"), col("_salt")))
+    assert(unsalted > 0.4, s"hot partition should dominate unsalted: $unsalted")
+    assert(salted < unsalted / 3, s"salting must spread the hot source: $salted vs $unsalted")
+  }
+
   test("skew exists by construction (hot web source ~50%)") {
     val dist = Gen.tokenseq(spark, cfg).toDF().groupBy("source").count()
       .as[(String, Long)].collect().toMap

@@ -42,13 +42,24 @@ class StreamOpsSpec extends SparkSpec {
       StreamRow(ts((i / 10).toInt), r.doc_id, r.tokens, r.n_tok, r.source)
     }
     in.addData(rows: _*)
+    // complete mode: every window emitted — lets us compare totals exactly
     runToMemory(windowedCounters(in.toDF(), Gen.sourceAttrs(spark), col("ts"),
-      "10 seconds", "5 seconds"), "wc", mode = "append")
-    // append mode emits only watermark-closed windows; feed a late batch to
-    // advance the watermark past the first windows
+      "10 seconds", "5 seconds"), "wc", mode = "complete")
     val df = spark.table("wc")
-    // batch-mode reference: same flagged data aggregated without watermark
     assert(df.columns.toSet == Set("window", "sink", "source", "row_count", "sum_n_tok"))
+    // streaming totals across windows == batch pipeline counters over the
+    // same rows (stream/batch unification check)
+    val streamed = df.groupBy("sink", "source")
+      .agg(sum("row_count").as("rc"), sum("sum_n_tok").as("st"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val batch = graft.pipeline.TokenPipeline.countersOnly(
+      in.toDF().sparkSession.createDataFrame(rows.map(r =>
+        (r.doc_id, r.tokens, r.n_tok, r.source)))
+        .toDF("doc_id", "tokens", "n_tok", "source"), Gen.sourceAttrs(spark))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(streamed == batch)
   }
 
   test("streaming dedupe drops duplicate keys within the watermark") {
