@@ -103,6 +103,25 @@ object TransformVariantQueries {
       main.select(col("event_id"), col("part"))
     }),
 
+    // ---- multiline aggregation (file source multiline mode) ----
+    "v_multiline" -> ((s, dir) => {
+      val line = concat(col("event_type"), lit(" "), pmod(col("event_id"), lit(1000)))
+      Transforms.multilineAggregate(ev(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")),
+        startsWhen = col("event_type") =!= "click", // clicks are continuations
+        line = line)
+    }),
+
+    // ---- GELF-shaped encode (lib/codecs gelf encoder) ----
+    "v_encode_gelf" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        to_json(struct(
+          lit("1.1").as("version"),
+          concat(lit("h"), pmod(col("user_id"), lit(50))).as("host"),
+          col("event_type").as("short_message"),
+          col("event_id").as("_event_id"))).as("gelf"))
+    }),
+
     // ---- json codec: encode (to_json) + decode (from_json) round trip ----
     "v_json_codec" -> ((s, dir) => {
       val j = to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
@@ -206,6 +225,22 @@ object TransformVariantQueries {
 
     "v_remap_fanout" ->
       """SELECT event_id, unnest(string_split(event_type || ',x' || (event_id % 3), ',')) AS part
+        |FROM events""".stripMargin,
+
+    "v_multiline" ->
+      """SELECT user_id AS key, record, count(*) AS n_lines,
+        | string_agg(event_type || ' ' || (event_id % 1000), chr(10) ORDER BY ts, event_id) AS message
+        |FROM (
+        |  SELECT *, sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS record
+        |  FROM events)
+        |GROUP BY user_id, record""".stripMargin,
+
+    "v_encode_gelf" ->
+      """SELECT event_id,
+        | to_json(struct_pack(version := '1.1', host := 'h' || (user_id % 50),
+        |   short_message := event_type, "_event_id" := event_id)) AS gelf
         |FROM events""".stripMargin,
 
     "v_json_codec" ->

@@ -243,6 +243,23 @@ object Transforms {
         round(sum(value), 2).as("sum_v"))
   }
 
+  /** Multiline aggregation (reference: file source `multiline` mode,
+    * src/sources/file.rs:64-245 — continuation lines are appended to the
+    * record opened by the last start-marker line). Batch analog of
+    * `starts_when` sessionization with an ordered string_agg.
+    */
+  def multilineAggregate(df: DataFrame, fileKey: Column, order: Seq[Column],
+                         startsWhen: Column, line: Column): DataFrame = {
+    val w = Window.partitionBy(fileKey).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordStruct = struct(order.map(o => o) :+ line.as("l"): _*)
+    df.withColumn("_rec", sum(when(startsWhen, 1L).otherwise(0L)).over(w))
+      .groupBy(fileKey.as("key"), col("_rec").as("record"))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(transform(sort_array(collect_list(ordStruct)),
+          x => x.getField("l")), "\n").as("message"))
+  }
+
   /** `window` with `forward_when` bypass (reference: window/config.rs:44-50
     * — matching events always pass, independent of the ring buffer).
     */
