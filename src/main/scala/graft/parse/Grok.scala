@@ -87,6 +87,33 @@ object Grok {
     case None => c
   }
 
+  /** VRL `parse_groks`: try patterns in order, first match wins
+    * (remap parse family, SURVEY §2.5). All patterns run as native
+    * single-pass extractions; fields are the union of all patterns' fields
+    * (null when the winning pattern lacks one); `_grok_idx` records which
+    * pattern matched (-1 = none → `_parse_ok` false).
+    */
+  def parseMulti(df: DataFrame, src: Column, compiled: Seq[Compiled]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val exts = compiled.map(c => Bridge.column(
+      RegexExtractStruct(Bridge.expression(src), c.regex, c.fields.map(_.name))))
+    val withG = compiled.indices.foldLeft(df) { (d, i) => d.withColumn(s"_g$i", exts(i)) }
+    val idx = compiled.indices.foldRight(lit(-1)) { (i, acc) =>
+      when(col(s"_g$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    val allFields = compiled.flatMap(_.fields).groupBy(_.name).map(_._2.head).toSeq
+    val withFields = allFields.foldLeft(withG.withColumn("_grok_idx", idx)) { (d, f) =>
+      val candidates = compiled.zipWithIndex.collect {
+        case (c, i) if c.fields.exists(_.name == f.name) =>
+          when(col("_grok_idx") === i, col(s"_g$i").getField(f.name))
+      }
+      d.withColumn(f.name, castCol(coalesce(candidates :+ lit(null): _*), f.castTo))
+    }
+    compiled.indices.foldLeft(withFields.withColumn("_parse_ok", col("_grok_idx") >= 0)) {
+      (d, i) => d.drop(s"_g$i")
+    }
+  }
+
   /** Apply a compiled pattern to `src`, adding one column per field plus a
     * `_parse_ok` boolean (the fallible-parse lane — VRL errors route to the
     * dropped port, src/transforms/remap.rs:149-153).

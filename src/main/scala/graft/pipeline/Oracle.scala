@@ -20,7 +20,7 @@ object Oracle {
       droppedByReason: Map[String, Long])
 
   def run(rows: Iterator[TokenSeq], attrs: Map[String, SourceAttrs],
-          longMin: Int = 1024): Out = {
+          longMin: Int = 1024, exclusive: Boolean = false): Out = {
     val grok = TokenPipeline.DocIdGrok
     val counters = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
     val routed = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[RoutedRow]]
@@ -49,10 +49,18 @@ object Oracle {
                 val hot = r.source == "web"
                 val long = r.n_tok >= longMin
                 val pii = a.pii && a.priority >= 2
-                if (hot) emit("sink_hot", r)
-                if (long) emit("sink_long", r)
-                if (pii) emit("sink_pii", r)
-                if (!hot && !long && !pii) emit("_unmatched", r)
+                if (exclusive) {
+                  // first-match-wins (exclusive_route/transform.rs:44-55)
+                  if (hot) emit("sink_hot", r)
+                  else if (long) emit("sink_long", r)
+                  else if (pii) emit("sink_pii", r)
+                  else emit("_unmatched", r)
+                } else {
+                  if (hot) emit("sink_hot", r)
+                  if (long) emit("sink_long", r)
+                  if (pii) emit("sink_pii", r)
+                  if (!hot && !long && !pii) emit("_unmatched", r)
+                }
               }
           }
       }
@@ -65,7 +73,8 @@ object Oracle {
   /** Oracle over the deterministic generator — generation shares
     * [[Gen.rowOf]] with the Spark job, so input equality is by construction.
     */
-  def runGenerated(cfg: GenConfig, longMin: Int = 1024): Out =
+  def runGenerated(cfg: GenConfig, longMin: Int = 1024,
+                   exclusive: Boolean = false): Out =
     run((0L until cfg.rows).iterator.map(Gen.rowOf(_, cfg)),
-      Gen.sourceAttrsRows.map(a => a.source -> a).toMap, longMin)
+      Gen.sourceAttrsRows.map(a => a.source -> a).toMap, longMin, exclusive)
 }

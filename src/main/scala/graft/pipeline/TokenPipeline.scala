@@ -103,6 +103,30 @@ object TokenPipeline {
       .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
   }
 
+  /** Exclusive-route committed run: first-match-wins routing written as ONE
+    * snapshot table partitioned by (sink, source) — a single pass and a
+    * single write job instead of one filtered write per sink. This is the
+    * more scalable sink shape when routing is exclusive (each row lands in
+    * exactly one partition directory); multi-match routing needs the
+    * per-sink writes of [[run]].
+    */
+  def runExclusive(spark: SparkSession, input: DataFrame, attrs: DataFrame,
+                   cfg: Config): (SnapshotTable, DataFrame) = {
+    val (flagged, _) = dataflow(input, attrs, cfg.longMin)
+    val routed = Route.exclusive(
+      flagged.drop(flagged.columns.filter(_.startsWith("_route_")): _*),
+      routes(cfg.longMin))
+      .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)))
+      .repartition(col("sink"), col("source"), col("_salt"))
+      .drop("_salt")
+    val table = new SnapshotTable(s"${cfg.sinksRoot}/exclusive")
+    table.append(routed, s"${cfg.jobId}-exclusive", partitionBy = Seq("sink", "source"))
+    val counters = table.read(spark).get
+      .groupBy(col("sink"), col("source"))
+      .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+    (table, counters)
+  }
+
   /** Full committed run: writes every sink as a snapshot-committed,
     * source-partitioned, salt-repartitioned Parquet table; counters are
     * derived from committed data only (exactly-once accounting,

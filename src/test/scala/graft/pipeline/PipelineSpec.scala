@@ -106,6 +106,31 @@ class PipelineSpec extends SparkSpec {
     assert(digest(2) == digest(32))
   }
 
+  test("exclusive-route single-write path matches the first-match oracle") {
+    val root = tmpRoot()
+    val (_, counters) = TokenPipeline.runExclusive(spark,
+      Gen.tokenseq(spark, cfg).toDF(), Gen.sourceAttrs(spark),
+      TokenPipeline.Config(root, "job-x"))
+    val exOracle = Oracle.runGenerated(cfg, exclusive = true)
+    assert(sparkCounters(counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == exOracle.counters)
+  }
+
+  test("grok parseMulti: first matching pattern wins, fields union") {
+    import graft.parse.Grok
+    val df = Seq("a/b/42", "x-7", "nope nope").toDF("s")
+    val out = Grok.parseMulti(df, col("s"), Seq(
+      Grok.compile("%{WORD:p}/%{WORD:q}/%{INT:n:int}"),
+      Grok.compile("%{WORD:p}-%{INT:n:int}")))
+      .select("s", "_parse_ok", "_grok_idx", "p", "q", "n")
+      .as[(String, Boolean, Int, String, String, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a/b/42") == (("a/b/42", true, 0, "a", "b", Some(42L))))
+    val x = out("x-7")
+    assert(x._2 && x._3 == 1 && x._4 == "x" && x._5 == null && x._6.contains(7L))
+    assert(!out("nope nope")._2)
+  }
+
   test("salting defuses the hot-source shuffle partition") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64, spark_partition_id, count}
     val df = Gen.tokenseq(spark, cfg).toDF()
