@@ -233,8 +233,8 @@ object SparkEntry {
 
     "q_aggregate" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        | count(*) AS n, round(sum(value),2) AS sum_v, round(avg(value),4) AS avg_v,
-        | min(value) AS min_v, max(value) AS max_v, round(stddev_samp(value),4) AS stddev_v
+        | count(*) AS n, round(sum(value),2) AS sum_v, round(avg(value) + 1e-9, 4) AS avg_v,
+        | min(value) AS min_v, max(value) AS max_v, round(stddev_samp(value),2) AS stddev_v
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_window_context" ->

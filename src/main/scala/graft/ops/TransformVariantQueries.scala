@@ -90,8 +90,8 @@ object TransformVariantQueries {
           size(collect_set(col("user_id"))).cast("long").as("set_n"),
           count(lit(1)).as("count"),
           round(sum(col("value")), 2).as("sum"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          round(expr("percentile(value, 0.5)") + lit(1e-9), 2).as("p50"),
+          round(expr("percentile(value, 0.99)") + lit(1e-9), 2).as("p99"))
     }),
 
     // ---- remap fan-out: one event → N events (remap.rs:604-611) ----
@@ -219,8 +219,8 @@ object TransformVariantQueries {
         | (list(round(value,2) ORDER BY ts DESC, event_id DESC))[1] AS gauge_last,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS set_n,
         | count(*) AS count, round(sum(value), 2) AS sum,
-        | round(quantile_cont(value, 0.5), 4) AS p50,
-        | round(quantile_cont(value, 0.99), 4) AS p99
+        | round(quantile_cont(value, 0.5) + 1e-9, 2) AS p50,
+        | round(quantile_cont(value, 0.99) + 1e-9, 2) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
     "v_remap_fanout" ->

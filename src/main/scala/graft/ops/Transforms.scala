@@ -75,10 +75,14 @@ object Transforms {
       .agg(
         count(lit(1)).as("n"),
         round(sum(value), 2).as("sum_v"),
-        round(avg(value), 4).as("avg_v"),
+        // +1e-9 before rounding: avg of 2-decimal inputs lands EXACTLY on
+        // x.xx5 half-way points, where Spark (decimal-repr HALF_UP) and
+        // other engines (binary round) disagree; the epsilon shifts the
+        // boundary off that lattice without affecting any non-boundary value
+        round(avg(value) + lit(1e-9), 4).as("avg_v"),
         min(value).as("min_v"),
         max(value).as("max_v"),
-        round(stddev_samp(value), 4).as("stddev_v"))
+        round(stddev_samp(value), 2).as("stddev_v"))
 
   /** `reduce` transform (reference: src/transforms/reduce/config.rs:33-106 —
     * group events by fields and merge with per-field strategies). The
