@@ -162,6 +162,27 @@ object FunctionQueries {
           col("pri"), col("ts_txt"), col("host"), col("prog"), col("pid"), col("msg"))
     }),
 
+    // ---- parse_xml subset via XPath ----
+    "f_parse_xml" -> ((s, dir) => {
+      val xml = concat(lit("<e id=\""), pmod(col("event_id"), lit(100)),
+        lit("\"><k>"), col("event_type"), lit("</k><v>"),
+        pmod(col("user_id"), lit(977)), lit("</v></e>"))
+      ev(s, dir).select(col("event_id"),
+        V.xpathStr(xml, "e/k/text()").as("xk"),
+        V.xpathLong(xml, "e/v/text()").as("xv"),
+        V.xpathStr(xml, "e/@id").cast("long").as("xid"))
+    }),
+
+    // ---- encode_cef ----
+    "f_encode_cef" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        V.encodeCef("graft", "pipeline", "1.0",
+          signature = pmod(col("event_id"), lit(1000)).cast("string"),
+          name = col("event_type"), severity = pmod(col("user_id"), lit(10)),
+          ext = Seq("user" -> col("user_id"), "val" -> pmod(col("event_id"), lit(50))))
+          .as("cef"))
+    }),
+
     // ---- map functions (VRL map_keys/map_values/merge over parsed kv) ----
     "f_maps" -> ((s, dir) => {
       val m = V.parseKeyValue(logfmtLine)
@@ -290,6 +311,19 @@ object FunctionQueries {
          | CAST((event_id % 4096) AS BIGINT) AS bytes
          |FROM events""".stripMargin
     },
+
+    "f_parse_xml" ->
+      """SELECT event_id,
+        | event_type AS xk,
+        | CAST(user_id % 977 AS BIGINT) AS xv,
+        | CAST(event_id % 100 AS BIGINT) AS xid
+        |FROM events""".stripMargin,
+
+    "f_encode_cef" ->
+      """SELECT event_id,
+        | ('CEF:0|graft|pipeline|1.0|' || (event_id % 1000) || '|' || event_type || '|'
+        |  || (user_id % 10) || '|' || 'user=' || user_id || ' val=' || (event_id % 50)) AS cef
+        |FROM events""".stripMargin,
 
     "f_parse_syslog" ->
       """SELECT event_id, true AS parse_ok,

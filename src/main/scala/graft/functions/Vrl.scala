@@ -147,4 +147,16 @@ object Vrl {
 
   /** `encode_csv` (unquoted subset). */
   def encodeCsv(cols: Seq[Column]): Column = concat_ws(",", cols.map(_.cast("string")): _*)
+
+  /** `encode_cef` (ArcSight CEF header + extension key=values). */
+  def encodeCef(vendor: String, product: String, version: String,
+                signature: Column, name: Column, severity: Column,
+                ext: Seq[(String, Column)]): Column =
+    concat(lit(s"CEF:0|$vendor|$product|$version|"), signature, lit("|"), name,
+      lit("|"), severity.cast("string"), lit("|"),
+      encodeLogfmt(ext))
+
+  /** `parse_xml` subset via XPath (Spark's xpath_* functions). */
+  def xpathStr(xml: Column, path: String): Column = xpath_string(xml, lit(path))
+  def xpathLong(xml: Column, path: String): Column = xpath_long(xml, lit(path))
 }
