@@ -171,6 +171,12 @@ object ScalingBench {
       println(s"CHILD ${l.cores} ${l.secs} ${l.rowsPerSec} ${l.routed}")
       return
     }
+    if (args.headOption.contains("--materialize")) { // spark-submit entry
+      val Array(_, dir, rows) = args.take(3)
+      materialize(dir, rows.toLong, maxTok = 256)
+      println(s"MATERIALIZED $dir $rows")
+      return
+    }
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
     val maxTok = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXTOK", "256").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_scaling_input")

@@ -162,6 +162,12 @@ object FunctionQueries {
           col("pri"), col("ts_txt"), col("host"), col("prog"), col("pid"), col("msg"))
     }),
 
+    // ---- shannon_entropy ----
+    "f_entropy" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        round(V.shannonEntropy(col("event_type")), 6).as("ent"))
+    }),
+
     // ---- parse_xml subset via XPath ----
     "f_parse_xml" -> ((s, dir) => {
       val xml = concat(lit("<e id=\""), pmod(col("event_id"), lit(100)),
@@ -310,6 +316,13 @@ object FunctionQueries {
          | CAST((CASE (event_id % 3) WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 500 END) AS BIGINT) AS status,
          | CAST((event_id % 4096) AS BIGINT) AS bytes
          |FROM events""".stripMargin
+    },
+
+    "f_entropy" -> {
+      val p = "(len(list_filter(ch, y -> y = x))::DOUBLE / len(ch)::DOUBLE)"
+      s"""SELECT event_id, round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_distinct(ch), x -> $p * log2($p))), (a, b) -> a + b), 6) AS ent
+         |FROM (SELECT event_id, string_split(event_type, '') AS ch FROM events)""".stripMargin
     },
 
     "f_parse_xml" ->

@@ -87,6 +87,19 @@ object Vrl {
   def md5Hex(c: Column): Column = md5(c.cast("binary"))
   def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
 
+  /** `shannon_entropy` over characters (bits/char). Nested higher-order
+    * fns — adequate for scoring-sized strings; a hot path would use a
+    * native Expression like [[graft.sim.DotProduct]].
+    */
+  def shannonEntropy(c: Column): Column = {
+    val chars = split(c, "", -1)
+    val n = size(chars).cast("double")
+    -aggregate(array_distinct(chars), lit(0.0), (acc, ch) => {
+      val p = size(filter(chars, x => x === ch)).cast("double") / n
+      acc + p * log(2.0, p)
+    })
+  }
+
   // ---------------- number / math ----------------
 
   def mod(a: Column, b: Column): Column = pmod(a, b)
