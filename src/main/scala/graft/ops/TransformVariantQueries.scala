@@ -23,6 +23,20 @@ object TransformVariantQueries {
         .select(col("event_id"), col("sample_rate"))
     }),
 
+    // ---- sample + group_by (sample/config.rs:60-74) ----
+    "v_sample_groupby" -> ((s, dir) => {
+      Transforms.sampleGrouped(ev(s, dir), col("user_id"), col("event_id"), 10)
+        .select(col("event_id"), col("sample_rate"), col("sample_group"))
+    }),
+
+    // ---- dedupe timed variant (dedupe/timed_transform.rs) ----
+    "v_dedupe_timed" -> ((s, dir) => {
+      Transforms.dedupeTimed(ev(s, dir).select("event_id", "ts", "user_id", "event_type"),
+        Seq(col("user_id"), col("event_type")), col("ts"), "hour",
+        Seq(col("ts"), col("event_id")))
+        .select(col("event_id"))
+    }),
+
     // ---- throttle + exclude (throttle/config.rs:54-58) ----
     "v_throttle_exclude" -> ((s, dir) => {
       Transforms.throttleWithExclude(ev(s, dir), col("user_id"), col("ts"), "hour",
@@ -137,6 +151,17 @@ object TransformVariantQueries {
       """SELECT event_id,
         | CASE WHEN event_type = 'error' THEN NULL ELSE 10 END AS sample_rate
         |FROM events WHERE event_type = 'error' OR event_id % 10 = 0""".stripMargin,
+
+    "v_sample_groupby" ->
+      """SELECT event_id, 10 AS sample_rate, user_id AS sample_group
+        |FROM events WHERE (event_id + user_id * 31) % 10 = 0""".stripMargin,
+
+    "v_dedupe_timed" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, row_number() OVER (
+        |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "v_throttle_exclude" ->
       """SELECT event_id, user_id FROM (

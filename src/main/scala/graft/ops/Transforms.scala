@@ -186,6 +186,24 @@ object Transforms {
     ranked.filter(col("_ex") || col("_rn") <= threshold).drop("_ex", "_rn")
   }
 
+  /** `sample` with `group_by` (reference: sample/config.rs:60-74 —
+    * sampling decisions are made independently per group bucket, so one
+    * group's volume can't starve another's sample). The group key joins the
+    * hash input; still a narrow map.
+    */
+  def sampleGrouped(df: DataFrame, group: Column, key: Column, rate: Int): DataFrame =
+    df.filter(pmod(key + group * 31L, lit(rate)) === 0)
+      .withColumn("sample_rate", lit(rate))
+      .withColumn("sample_group", group)
+
+  /** `dedupe` timed variant (reference: dedupe/timed_transform.rs —
+    * `max_age_ms` expires cache entries, so duplicates further apart than
+    * the window survive). Batch analog: first-per-(key, time-bucket).
+    */
+  def dedupeTimed(df: DataFrame, keys: Seq[Column], ts: Column, bucket: String,
+                  order: Seq[Column]): DataFrame =
+    dedupeKeepFirst(df, keys :+ date_trunc(bucket, ts), order)
+
   /** `dedupe` ignore-list mode (reference: dedupe/common.rs — fields NOT
     * in the ignore list form the match key).
     */
