@@ -97,6 +97,25 @@ object StreamOps {
       }
   }
 
+  /** Exactly-once streaming sink into a [[graft.table.SnapshotTable]]:
+    * `foreachBatch` with the micro-batch id as the commit jobId — a
+    * replayed batch (failure/restart) hits the idempotent-commit guard and
+    * writes nothing twice. This is the streaming face of the same
+    * commit protocol the batch pipeline uses (the reference's end-to-end
+    * acks + checkpointing, lib/vector-common/src/finalization.rs:284-362).
+    */
+  def writeToSnapshot(stream: DataFrame, table: graft.table.SnapshotTable,
+                      queryName: String,
+                      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        table.append(batch.toDF(), s"$queryName-batch-$batchId", partitionBy)
+        ()
+      }
+      .start()
+
   /** Deterministic rate-style demo source: a streaming tokenseq frame built
     * from the `rate` source (the `demo_logs` source analog,
     * src/sources/demo_logs.rs) — content is a pure function of the rate

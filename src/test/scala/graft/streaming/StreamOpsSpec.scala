@@ -89,6 +89,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.filter(_.key == "a").map(_.payload).sorted.toSeq == Seq("a1", "a2", "a3"))
   }
 
+  test("streaming exactly-once sink: replayed batch writes nothing twice") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("streamsink").toString
+    val table = new graft.table.SnapshotTable(s"$root/t")
+    val in = MemoryStream[Keyed]
+    in.addData(Keyed("a", ts(1), "p1"), Keyed("b", ts(2), "p2"))
+    val q = writeToSnapshot(in.toDF(), table, "ss")
+    try { q.processAllAvailable() } finally q.stop()
+    assert(table.read(spark).get.count() == 2)
+    val v = table.currentVersion
+    // simulate a replay of the same micro-batch id: idempotent no-op
+    assert(!table.append(Seq(("a", ts(1), "p1")).toDF("key", "ts", "payload"),
+      s"ss-batch-0"))
+    assert(table.currentVersion == v && table.read(spark).get.count() == 2)
+    table.destroy()
+  }
+
   test("throttle state resets in a new window") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Keyed]
