@@ -177,6 +177,14 @@ object DataOpsQueries {
         col("vec_id"), col("embedding"), k = 5, nBits = 8)
     }),
 
+    // ---- IVF ANN (KMeans cells + nprobe search; recall vs brute force in
+    //      spec — centroids are data-dependent, so no SQL oracle) ----
+    "d_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), k = 5, nlist = 16, nprobe = 4)
+    }),
+
     // ---- multimodal: synthesized binary media → per-kind stats ----
     // (input generated in-code, so rows-only driver check; mechanism is
     //  oracle-tested in MultimodalSpec)

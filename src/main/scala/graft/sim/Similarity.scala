@@ -109,6 +109,48 @@ object Similarity {
     if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
   }
 
+  /** IVF ANN (inverted-file index): k-means the corpus into `nlist` cells,
+    * search only the `nprobe` cells nearest each query — the classic
+    * Faiss-style scale path. Centroids come from Spark ML KMeans (tiny
+    * model, broadcast by construction); cell assignment is a narrow map;
+    * the probe join shuffles on cell id only. Recall is tuned by
+    * nprobe/nlist; the exactness baseline is [[bruteForceTopK]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
+      .withColumn("fv", array_to_vector(col("nbr_v")))
+    val model = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
+    val assigned = model.transform(c).select(col("nbr_id"), col("nbr_v"), col("cell"))
+
+    // per-query nprobe nearest cells: centroids are tiny — inline as rows
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(id.as("query_id"), vec.as("q_v"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", -dot(col("q_v"), col("centroid")) /
+        (norm(col("q_v")) * norm(col("centroid"))))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("q_v"), col("cell"))
+
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) /
+        (norm(col("q_v")) * norm(col("nbr_v"))), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
     * Probabilistic recall (multiprobe = flip 1 bit to widen); the
     * correctness baseline is [[bruteForceTopK]] — the spec measures recall

@@ -15,7 +15,8 @@ class VerifySurfaceSpec extends SparkSpec {
     // rows-only queries are the synthesized-input ones, by naming convention
     val rowsOnly = q.diff(o)
     assert(rowsOnly.forall(n =>
-      n.startsWith("p_") || n.startsWith("m_") || n == "d_ann_lsh"),
+      n.startsWith("p_") || n.startsWith("m_") ||
+        n == "d_ann_lsh" || n == "d_ann_ivf"),
       s"unexpected un-oracled queries: $rowsOnly")
   }
 

@@ -122,6 +122,18 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF ANN: recall vs brute force (nprobe/nlist tunable)") {
+    val df = vecs(300).cache()
+    val q = df.filter(col("vec_id") < 20)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, q, col("vec_id"), col("embedding"), k = 5))
+    val ivf = pairs(Similarity.ivfTopK(df, q, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   // ---------- text ops ----------
 
   test("language-ID picks the profile language; 'und' when no stopwords hit") {
