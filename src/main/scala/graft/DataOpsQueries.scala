@@ -177,6 +177,19 @@ object DataOpsQueries {
         col("vec_id"), col("embedding"), k = 5, nBits = 8)
     }),
 
+    // ---- end-to-end curation pipeline: quality filter → lang-ID →
+    //      exact dedup → per-(pred_lang, source) corpus stats ----
+    "d_curation_pipeline" -> ((s, dir) => {
+      val kept = Tables.documents(s, dir)
+        .filter(TextOps.qualityKeep(col("text")))
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+      Dedupe.exact(kept, col("text"), col("doc_id"))
+        .groupBy(col("pred_lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TextOps.wordCount(col("text")).cast("long")).as("total_words"))
+    }),
+
     // ---- IVF ANN (KMeans cells + nprobe search; recall vs brute force in
     //      spec — centroids are data-dependent, so no SQL oracle) ----
     "d_ann_ivf" -> ((s, dir) => {
@@ -244,6 +257,27 @@ object DataOpsQueries {
     "d_dedupe_exact" ->
       s"""SELECT doc_id, ${dH15("text")} AS text_hash FROM documents
          |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+
+    "d_curation_pipeline" -> {
+      val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>
+        s"len(list_filter(tkk, t -> t IN ${duckIn(prof)})) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.StopwordProfiles.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val pick = langs.map(l => s"WHEN h_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH tk AS (SELECT *, string_split(text,' ') AS tkk FROM documents),
+         |kept AS (SELECT * FROM tk
+         |  WHERE (len(tkk) BETWEEN 10 AND 100000)
+         |   AND (round(list_sum(list_transform(tkk, t -> len(t)))::DOUBLE / len(tkk)::DOUBLE, 4) BETWEEN 2 AND 12)
+         |   AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2)),
+         |langed AS (SELECT *, (CASE $pick ELSE 'und' END) AS pred_lang
+         |  FROM (SELECT *, $hits FROM kept)),
+         |dedup AS (SELECT * FROM langed
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         |SELECT pred_lang, source, count(*) AS n_docs,
+         |  sum(n_chars) AS total_chars, CAST(sum(len(tkk)) AS BIGINT) AS total_words
+         |FROM dedup GROUP BY pred_lang, source""".stripMargin
+    },
 
     "d_minhash_bands" -> {
       val bands = (0 until MinHashBands).map(b => s"${duckBand(b)} AS b$b").mkString(", ")
