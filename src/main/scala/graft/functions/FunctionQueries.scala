@@ -146,6 +146,34 @@ object FunctionQueries {
           col("clientip"), col("verb"), col("path"), col("status"), col("bytes"))
     }),
 
+    // ---- percent-encoding codec + uuid format (encode/decode_percent,
+    //      uuid_v4 — format-checked, value is random by design) ----
+    "f_url_codec" -> ((s, dir) => {
+      val raw = concat(col("event_type"), lit(" "), col("user_id"),
+        lit("&x="), pmod(col("event_id"), lit(50)))
+      ev(s, dir).select(col("event_id"),
+        url_encode(raw).as("enc"),
+        (url_decode(url_encode(raw)) === raw).as("dec_rt"),
+        expr("uuid()").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+          .as("uuid_ok"))
+    }),
+
+    // ---- array chunks (VRL chunks) + ip_subnet / is_ipv4 ----
+    "f_chunks_ip" -> ((s, dir) => {
+      val arr = split(concat_ws(",", col("event_type"), col("user_id"),
+        col("event_id"), lit("a"), lit("b")), ",", -1)
+      val chunkSize = 2
+      val nChunks = ceil(size(arr).cast("double") / chunkSize).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => slice(arr, i * chunkSize + 1, lit(chunkSize)))
+      ev(s, dir).select(col("event_id"),
+        size(chunks).cast("long").as("n_chunks"),
+        array_join(element_at(chunks, 1), "|").as("chunk1"),
+        ipCol.rlike("^(\\d{1,3}\\.){3}\\d{1,3}$").as("is_ipv4"),
+        V.ipNtoa(V.ipAton(ipCol).bitwiseAND(lit(0xFFFF0000L))).as("subnet16"))
+    }),
+
     // ---- syslog RFC3164 line parse via grok (parse_syslog family) ----
     "f_parse_syslog" -> ((s, dir) => {
       val line = concat(
@@ -336,6 +364,23 @@ object FunctionQueries {
       """SELECT event_id,
         | ('CEF:0|graft|pipeline|1.0|' || (event_id % 1000) || '|' || event_type || '|'
         |  || (user_id % 10) || '|' || 'user=' || user_id || ' val=' || (event_id % 50)) AS cef
+        |FROM events""".stripMargin,
+
+    "f_url_codec" ->
+      """SELECT event_id,
+        | replace(replace(replace(
+        |    event_type || ' ' || user_id || '&x=' || (event_id % 50),
+        |    '&', '%26'), '=', '%3D'), ' ', '+') AS enc,
+        | true AS dec_rt,
+        | true AS uuid_ok
+        |FROM events""".stripMargin,
+
+    "f_chunks_ip" ->
+      """SELECT event_id,
+        | CAST(3 AS BIGINT) AS n_chunks,
+        | (event_type || '|' || user_id) AS chunk1,
+        | true AS is_ipv4,
+        | ('10.' || (user_id % 256) || '.0.0') AS subnet16
         |FROM events""".stripMargin,
 
     "f_parse_syslog" ->
