@@ -74,18 +74,25 @@ object DataOpsQueries {
   private def duckSignList(j: Int): String =
     (0 until EmbedDim).map(i => planeSignJvm(j, i).toString).mkString("[", ",", "]")
 
-  private def duckBucketExpr(vec: String): String =
-    (0 until EmbedBits).map { j =>
+  private def duckBucketExpr(vec: String, bits: Int = EmbedBits): String =
+    (0 until bits).map { j =>
       val proj = dFoldSum(
         s"list_transform(generate_series(1,$EmbedDim), i -> $vec[i]::DOUBLE * (${duckSignList(j)})[i])")
       s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def duckDot(a: String, b: String): String =
-    dFoldSum(s"list_transform(generate_series(1,$EmbedDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
+  private def duckDot(a: String, b: String, dim: Int = EmbedDim): String =
+    dFoldSum(s"list_transform(generate_series(1,$dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
 
-  private def duckCos(a: String, b: String): String =
-    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+  private def duckCos(a: String, b: String, dim: Int = EmbedDim): String =
+    s"round(${duckDot(a, b, dim)} / (sqrt(${duckDot(a, a, dim)}) * sqrt(${duckDot(b, b, dim)})), 6)"
+
+  /** Unrounded cosine — for oracle stages whose *ordering* must match Spark
+    * exactly (cell assignment / probe selection), where both engines compute
+    * bit-identical doubles via the same fold.
+    */
+  private def duckCosRaw(a: String, b: String, dim: Int = EmbedDim): String =
+    s"(${duckDot(a, b, dim)} / (sqrt(${duckDot(a, a, dim)}) * sqrt(${duckDot(b, b, dim)})))"
 
   // ---------- stopwords ----------
 
@@ -170,7 +177,8 @@ object DataOpsQueries {
         col("vec_id"), col("embedding"), k = 5)
     }),
 
-    // ---- LSH-bucketed ANN (scale path; recall vs brute force in spec — no SQL oracle) ----
+    // ---- LSH-bucketed ANN (scale path; hyperplanes are deterministic, so
+    //      the DuckDB twin reproduces buckets + multiprobe exactly) ----
     "d_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
@@ -190,17 +198,17 @@ object DataOpsQueries {
           sum(TextOps.wordCount(col("text")).cast("long")).as("total_words"))
     }),
 
-    // ---- IVF ANN (KMeans cells + nprobe search; recall vs brute force in
-    //      spec — centroids are data-dependent, so no SQL oracle) ----
+    // ---- IVF ANN (hash-seeded deterministic centroids + nprobe search;
+    //      the ML-KMeans variant stays in DataOpsSpec for recall testing) ----
     "d_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+      Similarity.ivfTopKSeeded(e, e.filter(col("vec_id") < 10),
         col("vec_id"), col("embedding"), k = 5, nlist = 16, nprobe = 4)
     }),
 
     // ---- multimodal: synthesized binary media → per-kind stats ----
-    // (input generated in-code, so rows-only driver check; mechanism is
-    //  oracle-tested in MultimodalSpec)
+    // (generator is deterministic; Verify materializes the same rows to
+    //  parquet, so the DuckDB oracle reads the identical input)
     "m_media_stats" -> ((s, _) => {
       graft.multimodal.Multimodal.mediaStats(
         graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8))
@@ -275,7 +283,7 @@ object DataOpsQueries {
          |dedup AS (SELECT * FROM langed
          |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
          |SELECT pred_lang, source, count(*) AS n_docs,
-         |  sum(n_chars) AS total_chars, CAST(sum(len(tkk)) AS BIGINT) AS total_words
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars, CAST(sum(len(tkk)) AS BIGINT) AS total_words
          |FROM dedup GROUP BY pred_lang, source""".stripMargin
     },
 
@@ -346,6 +354,80 @@ object DataOpsQueries {
          |SELECT query_id, nbr_id, cos, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |            ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    // LSH ANN twin: same deterministic hyperplane signs, 8-bit buckets,
+    // hamming-1 multiprobe, exact top-k within probed buckets.
+    "d_ann_lsh" -> {
+      val probes = (Seq("bucket") ++ (0 until 8).map(j => s"xor(bucket, ${1L << j})"))
+        .mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT vec_id AS nbr_id, embedding AS nbr_v,
+         |            ${duckBucketExpr("embedding", 8)} AS bucket FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, embedding AS q_v,
+         |            ${duckBucketExpr("embedding", 8)} AS bucket FROM embeddings WHERE vec_id < 10),
+         |q AS (SELECT query_id, q_v, unnest($probes) AS bucket FROM q0),
+         |scored AS (SELECT DISTINCT query_id, nbr_id, ${duckCos("q_v", "nbr_v")} AS cos
+         |           FROM c JOIN q USING (bucket) WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin
+    },
+
+    // IVF ANN twin: centroid seeds = the 16 corpus vectors with smallest
+    // (h15(vec_id), vec_id); assignment/probes pick cells by unrounded
+    // cosine (bit-identical fold in both engines), tie-broken by cell id.
+    "d_ann_ivf" ->
+      s"""WITH seeds AS (
+         |  SELECT embedding AS cent, CAST(row_number() OVER (
+         |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings QUALIFY cell < 16),
+         |ac AS (SELECT e.vec_id AS nbr_id, e.embedding AS nbr_v, s.cell,
+         |         ${duckCosRaw("e.embedding", "s.cent")} AS cos_c
+         |       FROM embeddings e CROSS JOIN seeds s),
+         |assigned AS (SELECT nbr_id, nbr_v, cell FROM ac
+         |  QUALIFY row_number() OVER (PARTITION BY nbr_id ORDER BY cos_c DESC, cell) = 1),
+         |probes AS (SELECT nbr_id AS query_id, nbr_v AS q_v, cell FROM ac WHERE nbr_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY nbr_id ORDER BY cos_c DESC, cell) <= 4),
+         |scored AS (SELECT query_id, nbr_id, ${duckCos("q_v", "nbr_v")} AS cos
+         |           FROM assigned JOIN probes USING (cell) WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    // Media stats twin over the Verify-materialized generator output.
+    "m_media_stats" ->
+      s"""SELECT kind, count(*) AS n,
+         | CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+         | round(avg(struct_extract(meta, 'width')) + 1e-9, 4) AS avg_w,
+         | round(avg(struct_extract(meta, 'height')) + 1e-9, 4) AS avg_h,
+         | CAST(sum(struct_extract(meta, 'nFrames')) AS BIGINT) AS total_frames
+         |FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
+         |GROUP BY kind""".stripMargin,
+
+    // Media kNN twin: decode the StubCodec payload IN SQL (hex-slice the
+    // body past the 21-byte header), rebuild the 16-bucket byte histogram,
+    // then exact cosine top-3 — an independent check of the decode path.
+    "m_media_knn" -> {
+      val dim16 = 16
+      s"""WITH img AS (
+         |  SELECT media_id, substr(hex(payload), 43) AS hx
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
+         |  WHERE kind = 'image'),
+         |b AS (SELECT media_id, list_transform(generate_series(1, len(hx)//2),
+         |        i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)) AS bs FROM img),
+         |feat AS (SELECT media_id AS vec_id, list_transform(generate_series(0, 15),
+         |        j -> CAST(CAST(len(list_filter(bs, x -> x // 16 = j)) AS DOUBLE)
+         |             / len(bs) AS FLOAT)) AS emb FROM b),
+         |q AS (SELECT vec_id AS query_id, emb AS q_v FROM feat WHERE vec_id < 30),
+         |c AS (SELECT vec_id AS nbr_id, emb AS nbr_v FROM feat),
+         |scored AS (SELECT query_id, nbr_id, ${duckCos("q_v", "nbr_v", dim16)} AS cos
+         |           FROM q, c WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin
+    }
   )
 }

@@ -18,6 +18,34 @@ import graft.route.Route
   */
 object SparkEntry {
 
+  /** Placeholder in oracle SQL that [[Verify]] substitutes with the absolute
+    * verify out-dir, so oracles over in-code-synthesized inputs can
+    * `read_parquet` the very rows the Spark query consumed (materialized by
+    * Verify from the same deterministic generators).
+    */
+  val OutDirToken = "__VERIFY_OUT__"
+
+  /** Inputs synthesized in-code by some queries (not read from sfDir).
+    * Verify materializes each under `<outDir>/_inputs/<name>`; the
+    * generators are pure functions of the row index, so the parquet equals
+    * what the queries compute in memory at any parallelism.
+    */
+  def materializedInputs: Map[String, SparkSession => DataFrame] = Map(
+    "gen10k" -> (s => slimGen(s, 10000, 8)),
+    "gen50k" -> (s => slimGen(s, 50000, 16)),
+    "source_attrs" -> (s => graft.core.Gen.sourceAttrs(s)),
+    "media2k" -> (s =>
+      graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()))
+
+  /** Generator output minus the token payload — the pipeline oracles only
+    * touch (doc_id, n_tok, source), so the materialized input stays small.
+    */
+  private def slimGen(s: SparkSession, rows: Long, parts: Int): DataFrame = {
+    import graft.core.{Gen, GenConfig}
+    Gen.tokenseq(s, GenConfig(rows = rows, parts = parts)).toDF()
+      .select(col("doc_id"), col("n_tok"), col("source"))
+  }
+
   /** Flagship query; driver smoke-checks rows>0. The full north-star
     * dataflow — grok parse → broadcast enrich → VRL-style remap → multi-match
     * route → per-sink counters — over the deterministic tokenized-sequence
@@ -166,8 +194,8 @@ object SparkEntry {
     }),
 
     // ---- north-star pipeline over the deterministic generator ----
-    // (no SQL oracle: input is synthesized, not in sfDir — verified instead
-    //  against the single-threaded Scala oracle in PipelineSpec)
+    // (input materialized by Verify → full DuckDB oracle below, on top of
+    //  the single-threaded Scala oracle in PipelineSpec)
     "p_pipeline_counters" -> ((s, _) => {
       import graft.core.{Gen, GenConfig}
       graft.pipeline.TokenPipeline.countersOnly(
@@ -279,6 +307,43 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
 
     "q_parse_regex" ->
-      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_re FROM events"""
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_re FROM events""",
+
+    // Grok-parse twin over the Verify-materialized generator slice. The
+    // doc_id layout is slash-separated \w+ segments, so split == the grok
+    // captures; the regexp_matches WHERE mirrors the _parse_ok lane.
+    "p_pipeline_parse" ->
+      s"""SELECT doc_id,
+         | string_split(doc_id, '/')[1] AS src_tag,
+         | string_split(doc_id, '/')[2] AS tenant,
+         | CAST(string_split(doc_id, '/')[3] AS BIGINT) AS shard,
+         | string_split(doc_id, '/')[4] AS date_str,
+         | CAST(string_split(doc_id, '/')[5] AS BIGINT) AS seq
+         |FROM read_parquet('$OutDirToken/_inputs/gen10k/*.parquet')
+         |WHERE regexp_matches(doc_id, '^\\w+/\\w+/[+-]?\\d+/[+-]?\\d+/[+-]?\\d+$$')""".stripMargin,
+
+    // North-star counters twin: parse (regex gate) → strict enrich (inner
+    // join drops the ghost source) → VRL abort (seq % 997 = 0) → multi-match
+    // route fan-out → per-(sink, source) counters.
+    "p_pipeline_counters" ->
+      s"""WITH g AS (SELECT * FROM read_parquet('$OutDirToken/_inputs/gen50k/*.parquet')),
+         |p AS (SELECT doc_id, n_tok, source,
+         |        CAST(string_split(doc_id, '/')[5] AS BIGINT) AS seq
+         |      FROM g
+         |      WHERE regexp_matches(doc_id, '^\\w+/\\w+/[+-]?\\d+/[+-]?\\d+/[+-]?\\d+$$')),
+         |e AS (SELECT p.*, a.pii, a.priority
+         |      FROM p JOIN read_parquet('$OutDirToken/_inputs/source_attrs/*.parquet') a
+         |      USING (source)),
+         |r AS (SELECT * FROM e WHERE seq % 997 <> 0),
+         |f AS (SELECT source, n_tok, unnest(list_filter([
+         |        CASE WHEN source = 'web' THEN 'sink_hot' END,
+         |        CASE WHEN n_tok >= 1024 THEN 'sink_long' END,
+         |        CASE WHEN pii AND priority >= 2 THEN 'sink_pii' END,
+         |        CASE WHEN NOT (source = 'web' OR n_tok >= 1024 OR (pii AND priority >= 2))
+         |             THEN '_unmatched' END
+         |      ], x -> x IS NOT NULL)) AS sink FROM r)
+         |SELECT sink, source, count(*) AS row_count,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+         |FROM f GROUP BY sink, source""".stripMargin
   )
 }

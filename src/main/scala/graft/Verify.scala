@@ -16,6 +16,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize in-code-generated inputs first: oracle SQL reads them
+    // back via read_parquet('<outDir>/_inputs/...')
+    SparkEntry.materializedInputs.foreach { case (name, fn) =>
+      try fn(spark).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_inputs/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] input $name failed: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,8 +44,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(SparkEntry.OutDirToken, absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // don't tear down a session we merely reused (in-JVM test callers)
     if (!reusedSession) spark.stop()

@@ -34,10 +34,16 @@ object Dedupe {
     * partial-aggregated map-side.
     */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val hashed = df.withColumn("text_hash", Hashing.h15(text))
+    // Dedup key is the FULL 128-bit md5: at 10^12 rows, 60-bit collisions
+    // are expected (birthday bound ~ 2^30 pairs per 2^60 space) and would
+    // silently merge distinct documents. The 60-bit h15 is only the
+    // *emitted* text_hash column (cross-engine BIGINT), derived from the
+    // same md5 so it is computed once.
+    val hashed = df.withColumn("_md5", md5(text.cast("string")))
+      .withColumn("text_hash", conv(substring(col("_md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("_id", id)
-    val reps = hashed.groupBy(col("text_hash")).agg(min(col("_id")).as("_id"))
-    hashed.join(reps, Seq("text_hash", "_id"), "left_semi").drop("_id")
+    val reps = hashed.groupBy(col("_md5")).agg(min(col("_id")).as("_id"))
+    hashed.join(reps, Seq("_md5", "_id"), "left_semi").drop("_id", "_md5")
   }
 
   /** Distinct word n-gram shingles of a text column (narrow map).

@@ -273,7 +273,7 @@ object FunctionQueries {
       """SELECT event_id,
         | strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt,
         | CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-        | to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_unix_rt,
+        | timezone('UTC', to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))) AS ts_unix_rt,
         | CAST(event_id % 500 AS DOUBLE) * (CASE (event_id % 4)
         |   WHEN 0 THEN 0.001 WHEN 1 THEN 1.0 WHEN 2 THEN 60.0 ELSE 3600.0 END) AS dur_s
         |FROM events""".stripMargin,

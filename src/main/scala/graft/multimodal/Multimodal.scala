@@ -167,7 +167,13 @@ object Multimodal {
     val h = new Array[Float](16)
     var i = 0
     while (i < body.length) { h((body(i) & 0xFF) >> 4) += 1f; i += 1 }
-    if (body.nonEmpty) { var j = 0; while (j < 16) { h(j) /= body.length; j += 1 } }
+    if (body.nonEmpty) {
+      // divide in DOUBLE then narrow to float: a SQL oracle computes
+      // count::DOUBLE / len and casts — float-native division would differ
+      // by a double-rounding ulp on some counts
+      var j = 0
+      while (j < 16) { h(j) = (h(j).toDouble / body.length).toFloat; j += 1 }
+    }
     h
   }
 
@@ -182,7 +188,9 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("payload_bytes")).as("total_bytes"),
-        round(avg(col("width")), 4).as("avg_w"),
-        round(avg(col("height")), 4).as("avg_h"),
+        // +1e-9 before rounding: shifts decimal half-way points off the
+        // lattice so Spark (HALF_UP) and SQL oracles (binary round) agree
+        round(avg(col("width")) + lit(1e-9), 4).as("avg_w"),
+        round(avg(col("height")) + lit(1e-9), 4).as("avg_h"),
         sum(col("n_frames")).as("total_frames"))
 }

@@ -192,8 +192,11 @@ object TransformVariantQueries {
         | list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',') AS flat_unique_s
         |FROM events GROUP BY user_id""".stripMargin,
 
+    // NOTE: DuckDB sum(INTEGER) yields HUGEINT while Spark emits BIGINT —
+    // every integer sum that reaches oracle output is CAST to BIGINT
+    // (the Hashing.duckH15 convention; round-1 hash-fail root cause).
     "v_reduce_ends_when" ->
-      """SELECT user_id AS key, session, count(*) AS n, min(ts) AS first_ts,
+      """SELECT user_id AS key, CAST(session AS BIGINT) AS session, count(*) AS n, min(ts) AS first_ts,
         | max(ts) AS last_ts, round(sum(round(value,2)), 2) AS sum_v
         |FROM (
         |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -203,7 +206,7 @@ object TransformVariantQueries {
         |GROUP BY user_id, session""".stripMargin,
 
     "v_reduce_starts_when" ->
-      """SELECT user_id AS key, session, count(*) AS n, min(ts) AS first_ts,
+      """SELECT user_id AS key, CAST(session AS BIGINT) AS session, count(*) AS n, min(ts) AS first_ts,
         | max(ts) AS last_ts, round(sum(round(value,2)), 2) AS sum_v
         |FROM (
         |  SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
@@ -232,10 +235,10 @@ object TransformVariantQueries {
 
     "v_log_to_metric_hist" ->
       """SELECT event_type,
-        | sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS le_50_0,
-        | sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS le_100_0,
-        | sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS le_150_0,
-        | sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS le_200_0,
+        | CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50_0,
+        | CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS le_100_0,
+        | CAST(sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS le_150_0,
+        | CAST(sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_200_0,
         | count(*) AS count, round(sum(value), 2) AS sum
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -253,7 +256,7 @@ object TransformVariantQueries {
         |FROM events""".stripMargin,
 
     "v_multiline" ->
-      """SELECT user_id AS key, record, count(*) AS n_lines,
+      """SELECT user_id AS key, CAST(record AS BIGINT) AS record, count(*) AS n_lines,
         | string_agg(event_type || ' ' || (event_id % 1000), chr(10) ORDER BY ts, event_id) AS message
         |FROM (
         |  SELECT *, sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)

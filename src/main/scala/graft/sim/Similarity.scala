@@ -151,6 +151,55 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
   }
 
+  /** IVF ANN with deterministic hash-seeded centroids: the `nlist` corpus
+    * vectors with the smallest `(h15(id), id)` seed the cells — a single
+    * seeded assignment pass instead of k-means iterations. Unlike
+    * [[ivfTopK]] the cells are a pure function of the data, so a SQL oracle
+    * reproduces them exactly (the driver-gate variant; the ML-KMeans path
+    * stays for recall tuning).
+    *
+    * Scale shape: seeds come from a per-partition top-k
+    * (`TakeOrderedAndProject`, model-sized collect — same driver footprint
+    * as a KMeans model); cell assignment is a NARROW map — centroids are
+    * plan-time literal arrays, argmax runs as a sorted struct-array column
+    * expression, no shuffle, no UDF; only the probe join shuffles, keyed by
+    * cell id.
+    */
+  def ivfTopKSeeded(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+                    k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
+    val cents: Seq[Array[Float]] = c
+      .withColumn("_hk", Hashing.h15(col("nbr_id").cast("string")))
+      .orderBy(col("_hk"), col("nbr_id")).limit(nlist)
+      .select(col("nbr_v")).collect().toSeq
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+
+    // cosine to centroid j — the centroid norm constant-folds at plan time
+    def cellCos(v: Column, j: Int): Column =
+      dot(v, lit(cents(j))) / (norm(v) * norm(lit(cents(j))))
+
+    // top-n cells by (cos desc, cell asc): sort struct(cos, -cell) asc,
+    // take the tail reversed — pure column program, narrow
+    def topCells(v: Column, n: Int): Column = {
+      val arr = array(cents.indices.map(j =>
+        struct(cellCos(v, j).as("c"), lit(-j).as("nc"))): _*)
+      slice(reverse(array_sort(arr)), 1, n)
+    }
+
+    val assigned = c.withColumn("cell",
+      -element_at(topCells(col("nbr_v"), 1), 1).getField("nc"))
+    val q = queries.select(id.as("query_id"), vec.as("q_v"))
+      .withColumn("cell",
+        explode(transform(topCells(col("q_v"), nprobe), s => -s.getField("nc"))))
+    val scored = assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) /
+        (norm(col("q_v")) * norm(col("nbr_v"))), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
     * Probabilistic recall (multiprobe = flip 1 bit to widen); the
     * correctness baseline is [[bruteForceTopK]] — the spec measures recall
