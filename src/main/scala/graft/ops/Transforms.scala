@@ -131,14 +131,19 @@ object Transforms {
     * (`drop_event` action). The rank table is tiny (distinct tag values) —
     * broadcast back, no second shuffle of the fact table.
     */
-  def tagCardinalityLimit(df: DataFrame, tag: String, ts: Column, limit: Int): DataFrame = {
-    val firstSeen = df.groupBy(col(tag)).agg(min(ts).as("_fs"))
-    val ranked = firstSeen
-      .withColumn("_rk", row_number().over(Window.orderBy(col("_fs"), col(tag))))
-      .filter(col("_rk") <= limit)
+  def tagCardinalityLimit(df: DataFrame, tag: String, ts: Column, limit: Int): DataFrame =
+    df.join(broadcast(acceptedTags(df, tag, ts, limit)), Seq(tag), "left_semi")
+
+  /** The `limit` first-seen tag values, via aggregate + per-partition top-k
+    * (`orderBy(...).limit(k)` → TakeOrderedAndProject). Unlike a
+    * `row_number` over a global `Window.orderBy`, NO single task ever sees
+    * all distinct tag values — unbounded-cardinality tags are the exact
+    * adversary this transform exists for.
+    */
+  private def acceptedTags(df: DataFrame, tag: String, ts: Column, limit: Int): DataFrame =
+    df.groupBy(col(tag)).agg(min(ts).as("_fs"))
+      .orderBy(col("_fs"), col(tag)).limit(limit)
       .select(col(tag))
-    df.join(broadcast(ranked), Seq(tag), "left_semi")
-  }
 
   /** `log_to_metric` counter mode (reference:
     * src/transforms/log_to_metric.rs:42-78 — derive Counter metrics with
@@ -299,10 +304,7 @@ object Transforms {
     * over-limit tag value is nulled out).
     */
   def tagCardinalityDropTag(df: DataFrame, tag: String, ts: Column, limit: Int): DataFrame = {
-    val firstSeen = df.groupBy(col(tag)).agg(min(ts).as("_fs"))
-    val allowed = firstSeen
-      .withColumn("_rk", row_number().over(Window.orderBy(col("_fs"), col(tag))))
-      .filter(col("_rk") <= limit)
+    val allowed = acceptedTags(df, tag, ts, limit)
       .select(col(tag).as("_allowed_tag"))
     df.join(broadcast(allowed), col(tag) === col("_allowed_tag"), "left")
       .withColumn(tag, when(col("_allowed_tag").isNull, lit(null: String)).otherwise(col(tag)))

@@ -127,6 +127,76 @@ object TokenPipeline {
     (table, counters)
   }
 
+  /** Result of [[runMulti]] — one multi-match table instead of per-sink
+    * tables; `sinkView` recovers a per-sink frame (partition-pruned on the
+    * `sink=` directory).
+    */
+  final case class MultiResult(
+      table: SnapshotTable, droppedTable: SnapshotTable,
+      counters: DataFrame, droppedCounts: DataFrame,
+      lineage: DataFrame, stageMetrics: Map[String, Long]) {
+    def sinkView(spark: SparkSession, name: String): Option[DataFrame] =
+      table.read(spark).map(_.filter(col("sink") === name).drop("sink"))
+  }
+
+  /** Multi-match committed run as ONE write job — the scale path for
+    * multi-match sinks. Route conditions evaluate once; a row matching k
+    * sinks explodes into k sink-tagged rows; the routed stream lands in a
+    * single snapshot table partitioned by (sink, source) with salted
+    * repartitioning. Replaces [[run]]'s full-dataset persist + N filtered
+    * writes: at 100 TB the input is never cached or spilled and never
+    * scanned once per sink — the explode duplicates only multi-match rows
+    * (duplication factor = average matches per row), and each row is
+    * written exactly where its partition directory lives.
+    *
+    * Lineage + stage metrics cost one extra NARROW pass over the dataflow
+    * (a codegen'd parse→enrich→remap recompute), which at scale is cheaper
+    * than spilling the whole dataset via MEMORY_AND_DISK.
+    */
+  def runMulti(spark: SparkSession, input: DataFrame, attrs: DataFrame,
+               cfg: Config): MultiResult = {
+    import scala.jdk.CollectionConverters._
+    val (flagged0, dropped) = dataflow(input, attrs, cfg.longMin)
+    val flagged = flagged0.observe("route_in", count(lit(1)).as("rows"))
+
+    // metrics/lineage pass: collect() is partition-count-sized, and running
+    // it through THIS DataFrame's queryExecution resolves every observe()
+    // in the chain without persisting the data lane
+    val lineage0 = flagged.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("stage", lit("route_in"))
+      .select("stage", "partition_id", "rows")
+    val lineageRows = lineage0.collect()
+    val observed = lineage0.queryExecution.observedMetrics
+    val metrics = Seq("parse_in", "parse_out", "enrich_out", "remap_out", "route_in")
+      .map(n => n -> observed.get(n).map(_.getLong(0)).getOrElse(-1L)).toMap
+    val lineage = spark.createDataFrame(lineageRows.toList.asJava, lineage0.schema)
+
+    val names = routes(cfg.longMin).map(_._1) :+ Route.Unmatched
+    val arms = names.map(n => when(col(s"_route_$n"), lit(n)).otherwise(lit(null: String)))
+    val routed = flagged
+      .withColumn("sink", explode(array_compact(array(arms: _*))))
+      .drop(flagged0.columns.filter(_.startsWith("_route_")): _*)
+      .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)))
+      .repartition(col("sink"), col("source"), col("_salt"))
+      .drop("_salt")
+
+    val table = new SnapshotTable(s"${cfg.sinksRoot}/multi")
+    table.append(routed, s"${cfg.jobId}-multi", partitionBy = Seq("sink", "source"))
+    val droppedTable = new SnapshotTable(s"${cfg.sinksRoot}/dropped")
+    droppedTable.append(dropped, s"${cfg.jobId}-dropped", partitionBy = Seq("drop_reason"))
+
+    // counters from committed data only (exactly-once accounting)
+    val counters = table.read(spark).get
+      .groupBy(col("sink"), col("source"))
+      .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+    val droppedCounts = droppedTable.read(spark)
+      .map(_.groupBy(col("drop_reason")).agg(count(lit(1)).as("n")))
+      .getOrElse(spark.emptyDataFrame)
+
+    MultiResult(table, droppedTable, counters, droppedCounts, lineage, metrics)
+  }
+
   /** Full committed run: writes every sink as a snapshot-committed,
     * source-partitioned, salt-repartitioned Parquet table; counters are
     * derived from committed data only (exactly-once accounting,

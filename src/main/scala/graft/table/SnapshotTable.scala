@@ -111,12 +111,20 @@ final class SnapshotTable(val root: String) {
   def readAsOf(spark: SparkSession, version: Int): Option[DataFrame] = {
     // an empty df commit yields a dir with only _SUCCESS — no schema to infer
     def hasParquet(p: Path): Boolean =
-      Files.walk(p).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      Files.exists(p) &&
+        Files.walk(p).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
     val upTo = snapshots.filter(_.version <= version)
     val fromRewrite = upTo.lastIndexWhere(_.kind == "rewrite") match {
       case -1 => upTo
       case i => upTo.drop(i)
     }
+    // time travel behind the latest rewrite can reference data dirs that
+    // expireSnapshots() deleted — fail with a clear error, not NoSuchFile
+    val expired = fromRewrite.filterNot(m => Files.exists(Paths.get(m.dataDir)))
+    if (expired.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot expired: version $version needs data of snapshot(s) " +
+          s"${expired.map(_.version).mkString(", ")} deleted by expireSnapshots()")
     val dirs = fromRewrite.map(_.dataDir).filter(d => hasParquet(Paths.get(d)))
     // per-dir reads unioned: each snapshot dir is its own partition-discovery
     // root (a multi-path read would see "conflicting directory structures")

@@ -89,6 +89,34 @@ class PipelineSpec extends SparkSpec {
       == oracle.counters)
   }
 
+  test("multi-match single-write path: counters, dropped, metrics, rows match oracle") {
+    val root = tmpRoot()
+    val res = TokenPipeline.runMulti(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-m"))
+    assert(sparkCounters(res.counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == oracle.counters)
+    assert(res.droppedCounts.as[(String, Long)].collect().toMap == oracle.droppedByReason)
+    val m = res.stageMetrics
+    assert(m("parse_in") == cfg.rows && m("remap_out") == m("route_in"))
+    assert(res.lineage.agg(sum("rows")).as[Long].head() == m("route_in"))
+    // token-array equality per sink through the single-table view
+    for (sink <- Seq("sink_hot", "sink_pii", "_unmatched")) {
+      val got = res.sinkView(spark, sink).get
+        .select("doc_id", "tokens", "n_tok", "source")
+        .as[(String, Array[Int], Int, String)]
+        .collect().sortBy(_._1)
+        .map { case (d, t, n, s) => Oracle.RoutedRow(d, t.toVector, n, s) }
+        .toVector
+      assert(got == oracle.routed.getOrElse(sink, Vector.empty), s"sink $sink")
+    }
+    // restart with the same jobId: complete no-op, identical counters
+    val res2 = TokenPipeline.runMulti(spark, Gen.tokenseq(spark, cfg).toDF(),
+      Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-m"))
+    assert(res2.table.currentVersion == 1)
+    assert(sparkCounters(res2.counters.select("sink", "source", "row_count", "sum_n_tok"))
+      == oracle.counters)
+  }
+
   test("salt invariance: salting changes layout only, never counts") {
     val a = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(tmpRoot(), "job-s1", saltBuckets = 1))

@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n${plan(df)}")
   }
 
+  test("tag_cardinality_limit plan never funnels tags through one task") {
+    for (df <- Seq(
+      graft.ops.Transforms.tagCardinalityLimit(
+        spark.read.parquet(dir), "source", col("n_tok"), 3),
+      graft.ops.Transforms.tagCardinalityDropTag(
+        spark.read.parquet(dir), "source", col("n_tok"), 3))) {
+      val p = plan(df)
+      // the first-seen cutoff must be a per-partition top-k
+      // (TakeOrderedAndProject), not a global-sort window
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(p.contains("TakeOrderedAndProject"), p)
+    }
+  }
+
   test("whole-stage codegen covers the parse+enrich+remap pipeline") {
     val (flagged, _) = TokenPipeline.dataflow(
       spark.read.parquet(dir), Gen.sourceAttrs(spark), 1024)

@@ -89,4 +89,16 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(spark).get.count() == 5)
     t.destroy()
   }
+
+  test("time travel to an expired snapshot fails with a clear error") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq((1, "a")).toDF("k", "v"), "j1")
+    t.append(Seq((2, "b")).toDF("k", "v"), "j2")
+    t.compact(spark, "compact-1")
+    t.expireSnapshots()
+    val e = intercept[IllegalStateException](t.readAsOf(spark, 1))
+    assert(e.getMessage.contains("snapshot expired"))
+    assert(t.read(spark).get.count() == 2) // current read unaffected
+    t.destroy()
+  }
 }
