@@ -180,6 +180,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // ---- CIDR-prefix enrichment (geoip table shape; enrichment_tables/
+    //      geoip.rs) — broadcast per-prefix-length joins, longest wins ----
+    "q_enrich_cidr" -> ((s, dir) => {
+      import s.implicits._
+      val ip = concat(lit("10."), pmod(col("user_id"), lit(5)), lit("."),
+        pmod(col("event_id"), lit(256)), lit(".9"))
+      val table = Seq(
+        ("10.0.0.0/16", "dc-a"), ("10.1.0.0/16", "dc-b"),
+        ("10.2.0.0/15", "dc-c"), ("10.0.0.0/8", "dc-default")).toDF("cidr", "dc")
+      graft.enrich.Enrich.cidrLookup(
+        Tables.events(s, dir).withColumn("ip", ip), table, col("ip"))
+        .select(col("event_id"), col("ip"), col("dc"))
+    }),
+
     // ---- parse_json (VRL parse_json; SURVEY §2.5) ----
     "q_parse_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -302,6 +316,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // expected-value oracle: the /16s beat the /8 for second octet 0-3;
+    // octet 4 falls through to the /8 default; 10.2 and 10.3 share the /15
+    "q_enrich_cidr" ->
+      """SELECT event_id,
+        | ('10.' || (user_id % 5) || '.' || (event_id % 256) || '.9') AS ip,
+        | CASE (user_id % 5) WHEN 0 THEN 'dc-a' WHEN 1 THEN 'dc-b'
+        |      WHEN 2 THEN 'dc-c' WHEN 3 THEN 'dc-c' ELSE 'dc-default' END AS dc
+        |FROM events""".stripMargin,
 
     "q_parse_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",

@@ -42,6 +42,41 @@ object Enrich {
     (ok, dropped)
   }
 
+  /** CIDR-prefix enrichment — the geoip/mmdb table *shape* without MaxMind
+    * data (reference: src/enrichment_tables/geoip.rs, mmdb.rs; scalar base
+    * `ip_cidr_contains` in [[graft.functions.Vrl]]). The prefix table holds
+    * `cidr` ("a.b.c.d/len") plus attribute columns; matching is
+    * longest-prefix-wins.
+    *
+    * Scale shape: one broadcast hash join per DISTINCT prefix length
+    * (enrichment tables are config artifacts — a handful of lengths), each
+    * keyed on `ip_aton(ip) >> (32-len)` — pure integer shifts, no range
+    * scan, and the fact table never shuffles. Attribute columns coalesce
+    * longest-length-first.
+    */
+  def cidrLookup(df: DataFrame, table: DataFrame, ip: Column,
+                 cidrCol: String = "cidr"): DataFrame = {
+    import graft.functions.Vrl
+    val t = table
+      .withColumn("_net", substring_index(col(cidrCol), "/", 1))
+      .withColumn("_len", substring_index(col(cidrCol), "/", -1).cast("int"))
+    val lens = t.select(col("_len")).distinct()
+      .collect().map(_.getInt(0)).sorted.reverse.toSeq // config-sized collect
+    val attrCols = table.columns.filterNot(_ == cidrCol).toSeq
+    val joined = lens.zipWithIndex.foldLeft(df) { case (d, (len, i)) =>
+      val keyed = t.filter(col("_len") === len)
+        .select(shiftright(Vrl.ipAton(col("_net")), 32 - len).as(s"_k$i") +:
+          attrCols.map(a => col(a).as(s"_${a}_$i")): _*)
+      d.join(broadcast(keyed),
+        shiftright(Vrl.ipAton(ip), 32 - len) === col(s"_k$i"), "left")
+        .drop(s"_k$i")
+    }
+    attrCols.foldLeft(joined) { (d, a) =>
+      d.withColumn(a, coalesce(lens.indices.map(i => col(s"_${a}_$i")): _*))
+        .drop(lens.indices.map(i => s"_${a}_$i"): _*)
+    }
+  }
+
   /** Date-range enrichment (reference `BetweenDates` condition,
     * lib/enrichment/src/lib.rs:23-41): equality keys plus ts ∈ [from, to).
     * Still a broadcast join — the range predicate rides along as a join

@@ -31,6 +31,40 @@ object FunctionQueries {
     lit(10), pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)), lit(7))
   private val duckIp = "('10.' || (user_id % 256) || '.' || (event_id % 256) || '.7')"
 
+  // Apache common-log line built from integer-safe fields (for the
+  // parse_common_log / parse_nginx_log named wrappers)
+  private def clfLine = concat(
+    ipCol, lit(" - u"), col("user_id"), lit(" ["),
+    date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \""),
+    element_at(array(lit("GET"), lit("POST"), lit("PUT")),
+      (pmod(col("event_id"), lit(3)) + 1).cast("int")),
+    lit(" /api/"), col("event_type"), lit(" HTTP/1.1\" "),
+    lit(200) + pmod(col("event_id"), lit(4)) * 100, lit(" "),
+    pmod(col("user_id"), lit(10000)))
+  private val duckClf =
+    s"""($duckIp || ' - u' || user_id || ' [' ||
+       | strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "' ||
+       | (CASE (event_id % 3) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END) ||
+       | ' /api/' || event_type || ' HTTP/1.1" ' ||
+       | (200 + (event_id % 4) * 100) || ' ' || (user_id % 10000))""".stripMargin
+
+  // fixed browser population for parse_user_agent (picked by event_id % 7)
+  private val UAs = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/8.4.0",
+    "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36")
+  private def uaCol = element_at(array(UAs.map(lit): _*),
+    (pmod(col("event_id"), lit(7)) + 1).cast("int"))
+  /** Expected-value CASE over the fixed population (independent oracle). */
+  private def duckUaCase(vals: Seq[String]): String =
+    "(CASE (event_id % 7) " + vals.zipWithIndex.map { case (v, i) =>
+      s"WHEN $i THEN " + (if (v == null) "NULL" else s"'$v'")
+    }.mkString(" ") + " END)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- parse_key_value / parse_logfmt + encode_logfmt round trip ----
@@ -243,10 +277,127 @@ object FunctionQueries {
         array_contains(arr, "x").as("has_x"),
         aggregate(arr, lit(0L), (acc, t) => acc + length(t)).as("total_len"),
         array_join(reverse(arr), "|").as("rev_joined"))
+    }),
+
+    // ---- parse_common_log (named grok wrapper) ----
+    "f_parse_clf" -> ((s, dir) => {
+      graft.parse.Grok.parseCommonLog(ev(s, dir).withColumn("line", clfLine), col("line"))
+        .filter(col("_parse_ok"))
+        .select(col("event_id"), col("client"), col("auth"), col("ts_str"),
+          col("method"), col("path"), col("status"), col("bytes"))
+    }),
+
+    // ---- parse_nginx_log (combined format: CLF + referrer + agent) ----
+    "f_parse_nginx" -> ((s, dir) => {
+      val line = concat(clfLine, lit(" \"https://ref.example.com/"), col("event_type"),
+        lit("\" \""), uaCol, lit("\""))
+      graft.parse.Grok.parseNginxLog(ev(s, dir).withColumn("line", line), col("line"))
+        .filter(col("_parse_ok"))
+        .select(col("event_id"), col("client"), col("method"), col("status"),
+          col("referrer"), col("agent"))
+    }),
+
+    // ---- parse_user_agent (regex-heuristic family) ----
+    "f_user_agent" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        V.uaBrowserFamily(uaCol).as("browser"),
+        V.uaBrowserVersion(uaCol).as("browser_version"),
+        V.uaOsFamily(uaCol).as("os"),
+        V.uaDeviceCategory(uaCol).as("device"))
+    }),
+
+    // ---- parse_cef (decode side; encode_cef builds the line) ----
+    "f_parse_cef" -> ((s, dir) => {
+      val cef = V.encodeCef("graft", "engine", "1.0",
+        concat(lit("sig-"), pmod(col("event_id"), lit(5))), col("event_type"),
+        pmod(col("event_id"), lit(10)),
+        Seq("user" -> col("user_id"), "id" -> col("event_id")))
+      ev(s, dir).select(col("event_id"),
+        V.cefVendor(cef).as("vendor"),
+        V.cefProduct(cef).as("product"),
+        V.cefDeviceVersion(cef).as("dev_version"),
+        V.cefSignature(cef).as("sig"),
+        V.cefName(cef).as("name"),
+        V.cefSeverity(cef).as("severity"),
+        element_at(V.cefExtension(cef), "user").cast("long").as("ext_user"),
+        element_at(V.cefExtension(cef), "id").cast("long").as("ext_id"))
+    }),
+
+    // ---- parse_etld / eTLD+1 over the embedded public-suffix subset ----
+    "f_etld" -> ((s, dir) => {
+      val picks = Seq("example.com", "example.co.uk", "test.github.io",
+        "foo.org.uk", "bar.com.au", "baz.net")
+      val host = concat(lit("h"), pmod(col("user_id"), lit(50)), lit("."),
+        element_at(array(picks.map(lit): _*), (pmod(col("event_id"), lit(6)) + 1).cast("int")))
+      ev(s, dir).select(col("event_id"), host.as("host"),
+        V.parseEtld(host).as("etld"),
+        V.parseEtldPlusOne(host).as("etld1"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "f_parse_clf" ->
+      s"""SELECT event_id,
+         | regexp_extract(line, '^(\\S+)', 1) AS client,
+         | regexp_extract(line, '^\\S+ \\S+ (\\S+)', 1) AS auth,
+         | regexp_extract(line, '\\[([^\\]]+)\\]', 1) AS ts_str,
+         | regexp_extract(line, '"(GET|POST|PUT)', 1) AS method,
+         | regexp_extract(line, '"(?:GET|POST|PUT) (\\S+)', 1) AS path,
+         | CAST(regexp_extract(line, '" (\\d+)', 1) AS BIGINT) AS status,
+         | CAST(regexp_extract(line, '(\\d+)$$', 1) AS BIGINT) AS bytes
+         |FROM (SELECT event_id, $duckClf AS line FROM events)""".stripMargin,
+
+    "f_parse_nginx" -> {
+      val uaCase = duckUaCase(UAs)
+      s"""SELECT event_id,
+         | regexp_extract(line, '^(\\S+)', 1) AS client,
+         | regexp_extract(line, '"(GET|POST|PUT)', 1) AS method,
+         | CAST(regexp_extract(line, '" (\\d+)', 1) AS BIGINT) AS status,
+         | regexp_extract(line, '"([^"]*)" "[^"]*"$$', 1) AS referrer,
+         | regexp_extract(line, '"([^"]*)"$$', 1) AS agent
+         |FROM (SELECT event_id,
+         |  ($duckClf || ' "https://ref.example.com/' || event_type || '" "' || $uaCase || '"') AS line
+         |  FROM events)""".stripMargin
+    },
+
+    "f_user_agent" ->
+      s"""SELECT event_id,
+         | ${duckUaCase(Seq("Chrome", "Firefox", "Safari", "Edge", "bot", "bot", "Chrome"))} AS browser,
+         | ${duckUaCase(Seq("120.0.0.0", "115.0", "16.5", "120.0.2210.91", null, null, "119.0.6045.163"))} AS browser_version,
+         | ${duckUaCase(Seq("Windows", "Linux", "iOS", "Windows", "other", "other", "Android"))} AS os,
+         | ${duckUaCase(Seq("desktop", "desktop", "mobile", "desktop", "bot", "bot", "mobile"))} AS device
+         |FROM events""".stripMargin,
+
+    "f_parse_cef" -> {
+      val line = "('CEF:0|graft|engine|1.0|sig-' || (event_id % 5) || '|' || event_type || " +
+        "'|' || (event_id % 10) || '|user=' || user_id || ' id=' || event_id)"
+      val hdr = "^CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$"
+      s"""SELECT event_id,
+         | regexp_extract(line, '$hdr', 2) AS vendor,
+         | regexp_extract(line, '$hdr', 3) AS product,
+         | regexp_extract(line, '$hdr', 4) AS dev_version,
+         | regexp_extract(line, '$hdr', 5) AS sig,
+         | regexp_extract(line, '$hdr', 6) AS name,
+         | CAST(regexp_extract(line, '$hdr', 7) AS INT) AS severity,
+         | CAST(regexp_extract(line, 'user=(\\d+)', 1) AS BIGINT) AS ext_user,
+         | CAST(regexp_extract(line, 'id=(\\d+)', 1) AS BIGINT) AS ext_id
+         |FROM (SELECT event_id, $line AS line FROM events)""".stripMargin
+    },
+
+    "f_etld" -> {
+      def pick6(vals: Seq[String]): String =
+        "(CASE (event_id % 6) " + vals.zipWithIndex.map { case (v, i) =>
+          s"WHEN $i THEN '$v'" }.mkString(" ") + " END)"
+      val suffix = pick6(Seq("example.com", "example.co.uk", "test.github.io",
+        "foo.org.uk", "bar.com.au", "baz.net"))
+      s"""SELECT event_id,
+         | ('h' || (user_id % 50) || '.' || $suffix) AS host,
+         | ${pick6(Seq("com", "co.uk", "github.io", "org.uk", "com.au", "net"))} AS etld,
+         | $suffix AS etld1
+         |FROM events""".stripMargin
+    },
+
 
     "f_parse_kv" ->
       s"""SELECT event_id, $duckLogfmtLine AS line,

@@ -86,6 +86,28 @@ object Vrl {
   def encodeBase16(c: Column): Column = lower(hex(c))
   def md5Hex(c: Column): Column = md5(c.cast("binary"))
   def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
+  def sha512Hex(c: Column): Column = sha2(c.cast("binary"), 512)
+
+  /** VRL `crc32` (checksum family) — Spark's codegen'd builtin. */
+  def crc32Of(c: Column): Column = crc32(c.cast("binary"))
+
+  /** VRL `hmac` with SHA-256, composed from the definition
+    * `H((K^opad) || H((K^ipad) || m))` over Spark's codegen'd `sha2` —
+    * no UDF, no JCE call per row; the padded-key XOR blocks are plan-time
+    * binary literals. Keys longer than the 64-byte block are pre-hashed
+    * (RFC 2104). Returns lowercase hex.
+    */
+  def hmacSha256Hex(key: String, msg: Column): Column = {
+    val keyBytes0 = key.getBytes("UTF-8")
+    val keyBytes =
+      if (keyBytes0.length <= 64) keyBytes0
+      else java.security.MessageDigest.getInstance("SHA-256").digest(keyBytes0)
+    val block = java.util.Arrays.copyOf(keyBytes, 64)
+    val ipad = block.map(b => (b ^ 0x36).toByte)
+    val opad = block.map(b => (b ^ 0x5c).toByte)
+    val inner = sha2(concat(lit(ipad), msg.cast("binary")), 256)
+    sha2(concat(lit(opad), unhex(inner)), 256)
+  }
 
   /** `shannon_entropy` over characters (bits/char). Nested higher-order
     * fns — adequate for scoring-sized strings; a hot path would use a
@@ -172,4 +194,93 @@ object Vrl {
   /** `parse_xml` subset via XPath (Spark's xpath_* functions). */
   def xpathStr(xml: Column, path: String): Column = xpath_string(xml, lit(path))
   def xpathLong(xml: Column, path: String): Column = xpath_long(xml, lit(path))
+
+  // ---------------- parse_user_agent ----------------
+  // (reference: website/cue/reference/remap/functions/parse_user_agent.cue —
+  //  the reference wraps the woothee/uap family; this is the regex-heuristic
+  //  subset covering the major engine/OS families, engine-portable regexes)
+
+  def uaBrowserFamily(ua: Column): Column =
+    when(ua.rlike("(?i)bot|crawler|spider|curl|wget"), "bot")
+      .when(ua.contains("Edg/") || ua.contains("Edge/"), "Edge")
+      .when(ua.contains("OPR/") || ua.contains("Opera"), "Opera")
+      .when(ua.contains("Firefox/"), "Firefox")
+      .when(ua.contains("Chrome/"), "Chrome")
+      .when(ua.contains("Safari/") && ua.contains("Version/"), "Safari")
+      .when(ua.contains("MSIE") || ua.contains("Trident/"), "IE")
+      .otherwise("other")
+
+  def uaBrowserVersion(ua: Column): Column = {
+    val v = (re: String) => nullif(regexp_extract(ua, re, 1), lit(""))
+    when(uaBrowserFamily(ua) === "Edge", coalesce(v("Edge?/(\\d+[.\\d]*)")))
+      .when(uaBrowserFamily(ua) === "Opera", coalesce(v("OPR/(\\d+[.\\d]*)"), v("Opera[/ ](\\d+[.\\d]*)")))
+      .when(uaBrowserFamily(ua) === "Firefox", v("Firefox/(\\d+[.\\d]*)"))
+      .when(uaBrowserFamily(ua) === "Chrome", v("Chrome/(\\d+[.\\d]*)"))
+      .when(uaBrowserFamily(ua) === "Safari", v("Version/(\\d+[.\\d]*)"))
+      .when(uaBrowserFamily(ua) === "IE", v("MSIE (\\d+[.\\d]*)"))
+  }
+
+  def uaOsFamily(ua: Column): Column =
+    when(ua.contains("Windows"), "Windows")
+      .when(ua.contains("Android"), "Android") // before Linux: Android UAs carry "Linux"
+      .when(ua.contains("iPhone") || ua.contains("iPad"), "iOS")
+      .when(ua.contains("Mac OS X"), "macOS")
+      .when(ua.contains("Linux"), "Linux")
+      .otherwise("other")
+
+  def uaDeviceCategory(ua: Column): Column =
+    when(ua.rlike("(?i)bot|crawler|spider|curl|wget"), "bot")
+      .when(ua.contains("iPad") || ua.contains("Tablet"), "tablet")
+      .when(ua.contains("Mobile") || ua.contains("iPhone") || ua.contains("Android"), "mobile")
+      .otherwise("desktop")
+
+  // ---------------- parse_cef (decode side; encode is encodeCef) ----------------
+  // (reference: lib/codecs decoding + website/.../parse_cef.cue — pipe-
+  //  delimited 7-field header, then a key=value extension block)
+
+  private def cefHeader(c: Column, i: Int): Column =
+    regexp_extract(c,
+      "^CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$", i)
+
+  def cefVersion(c: Column): Column = cefHeader(c, 1).cast("int")
+  def cefVendor(c: Column): Column = cefHeader(c, 2)
+  def cefProduct(c: Column): Column = cefHeader(c, 3)
+  def cefDeviceVersion(c: Column): Column = cefHeader(c, 4)
+  def cefSignature(c: Column): Column = cefHeader(c, 5)
+  def cefName(c: Column): Column = cefHeader(c, 6)
+  def cefSeverity(c: Column): Column = cefHeader(c, 7).cast("int")
+  /** Extension block as a map (unescaped subset — space-separated k=v). */
+  def cefExtension(c: Column): Column = str_to_map(cefHeader(c, 8), lit(" "), lit("="))
+
+  // ---------------- parse_etld ----------------
+  // (reference: website/cue/reference/remap/functions/parse_etld.cue — the
+  //  reference ships the full Mozilla public-suffix list; this embeds a
+  //  representative subset, longest-suffix-first matching)
+
+  /** Multi-label public suffixes checked before the plain TLD fallback. */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "github.io", "s3.amazonaws.com")
+
+  /** `parse_etld`: the effective TLD of a hostname (longest match over the
+    * embedded suffix set, else the final label).
+    */
+  def parseEtld(host: Column): Column = {
+    val ordered = PublicSuffixes.sortBy(-_.count(_ == '.'))
+    ordered.foldRight(regexp_extract(host, "\\.([^.]+)$", 1)) { (s, acc) =>
+      when(host.endsWith("." + s), lit(s)).otherwise(acc)
+    }
+  }
+
+  /** `parse_etld` with plus_parts=1: registrable domain (eTLD+1). */
+  def parseEtldPlusOne(host: Column): Column = {
+    val ordered = PublicSuffixes.sortBy(-_.count(_ == '.'))
+    val fallback = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    ordered.foldRight(fallback) { (s, acc) =>
+      val q = java.util.regex.Pattern.quote(s)
+      when(host.endsWith("." + s),
+        regexp_extract(host, s"([^.]+\\.$q)$$", 1)).otherwise(acc)
+    }
+  }
 }

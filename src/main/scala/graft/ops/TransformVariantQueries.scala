@@ -136,6 +136,33 @@ object TransformVariantQueries {
           col("event_id").as("_event_id"))).as("gelf"))
     }),
 
+    // ---- datadog_search conditions driving a multi-match route ----
+    // (the second condition language, src/conditions/datadog_search.rs —
+    //  wildcards, ranges, comparisons, boolean operators, negation)
+    "v_datadog_route" -> ((s, dir) => {
+      import graft.conditions.DatadogSearch
+      def c(q: String) = DatadogSearch.compile(q, col, col("event_type"))
+      graft.route.Route.routedUnion(ev(s, dir), Seq(
+        "hot" -> c("event_type:error"),
+        "big" -> c("value:[180 TO 200]"),
+        "mix" -> c("event_type:sign* OR (event_type:purchase AND value:>=100)"),
+        "quiet" -> c("NOT event_type:click AND value:<20")))
+        .select(col("sink"), col("event_id"))
+    }),
+
+    // ---- DDSketch metric value: mergeable sketch column → quantiles ----
+    // (AgentDDSketch / Distribution analog, metric/value.rs:20-82)
+    "v_ddsketch" -> ((s, dir) => {
+      import graft.sketch.DDSketch
+      ev(s, dir).filter(col("value") > 0)
+        .groupBy(col("event_type"))
+        .agg(DDSketch.sketch(col("value")).as("sk"))
+        .select(col("event_type"),
+          DDSketch.count(col("sk")).as("n"),
+          DDSketch.quantile(col("sk"), 0.5).as("p50"),
+          DDSketch.quantile(col("sk"), 0.95).as("p95"))
+    }),
+
     // ---- json codec: encode (to_json) + decode (from_json) round trip ----
     "v_json_codec" -> ((s, dir) => {
       val j = to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
@@ -270,6 +297,35 @@ object TransformVariantQueries {
         | to_json(struct_pack(version := '1.1', host := 'h' || (user_id % 50),
         |   short_message := event_type, "_event_id" := event_id)) AS gelf
         |FROM events""".stripMargin,
+
+    "v_datadog_route" ->
+      """SELECT 'hot' AS sink, event_id FROM events WHERE event_type = 'error'
+        |UNION ALL SELECT 'big' AS sink, event_id FROM events WHERE value BETWEEN 180 AND 200
+        |UNION ALL SELECT 'mix' AS sink, event_id FROM events
+        | WHERE event_type LIKE 'sign%' OR (event_type = 'purchase' AND value >= 100)
+        |UNION ALL SELECT 'quiet' AS sink, event_id FROM events
+        | WHERE NOT (event_type = 'click') AND value < 20
+        |UNION ALL SELECT '_unmatched' AS sink, event_id FROM events
+        | WHERE NOT (event_type = 'error' OR (value BETWEEN 180 AND 200)
+        |   OR (event_type LIKE 'sign%' OR (event_type = 'purchase' AND value >= 100))
+        |   OR (NOT (event_type = 'click') AND value < 20))""".stripMargin,
+
+    "v_ddsketch" -> {
+      val g = graft.sketch.DDSketch.DefaultGamma
+      val lnG = math.log(g)
+      s"""WITH b AS (
+         |  SELECT event_type, CAST(ceil(ln(value) / $lnG) AS INT) AS bi, count(*) AS cnt
+         |  FROM events WHERE value > 0 GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, bi, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bi) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM b)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  round(2 * power($g, min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN bi END)) / ${g + 1.0}, 6) AS p50,
+         |  round(2 * power($g, min(CASE WHEN cum >= floor(0.95 * (n - 1)) + 1 THEN bi END)) / ${g + 1.0}, 6) AS p95
+         |FROM t GROUP BY event_type, n""".stripMargin
+    },
 
     "v_json_codec" ->
       """SELECT event_id,

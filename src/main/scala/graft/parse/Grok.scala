@@ -36,7 +36,28 @@ object Grok {
     "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} {1,2}\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
     "PROG" -> "[\\w._/-]+",
     "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)",
+    "HTTPDATE" -> "\\d{2}/\\w{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}",
     "QS" -> "\"[^\"]*\"")
+
+  /** VRL `parse_common_log` / `parse_nginx_log` named wrappers (reference:
+    * website/cue/reference/remap/functions/parse_common_log.cue,
+    * parse_nginx_log.cue) — the Apache CLF and nginx `combined` formats as
+    * grok patterns over this compiler.
+    */
+  val CommonLogPattern: String =
+    "%{IP:client} %{NOTSPACE:ident} %{NOTSPACE:auth} [%{HTTPDATE:ts_str}] " +
+      "\"%{HTTPMETHOD:method} %{NOTSPACE:path} HTTP/%{NUMBER:http_version}\" " +
+      "%{INT:status:int} %{INT:bytes:int}"
+  val NginxCombinedPattern: String =
+    CommonLogPattern + " \"%{DATA:referrer}\" \"%{DATA:agent}\""
+
+  lazy val CommonLogGrok: Compiled = compile(CommonLogPattern)
+  lazy val NginxCombinedGrok: Compiled = compile(NginxCombinedPattern)
+
+  def parseCommonLog(df: DataFrame, src: Column): DataFrame =
+    parse(df, src, CommonLogGrok)
+  def parseNginxLog(df: DataFrame, src: Column): DataFrame =
+    parse(df, src, NginxCombinedGrok)
 
   /** One extracted field: name, 1-based capture group, SQL cast type (or null). */
   final case class Field(name: String, group: Int, castTo: Option[String])

@@ -80,4 +80,102 @@ class TopologySpec extends SparkSpec {
       .extractFrom(Route.Unmatched)(rows => assert(rows.isEmpty))
       .extractFrom("hot")(rows => assert(rows.map(_.getLong(0)).sorted == Seq(1L, 3L)))
   }
+
+  test("TOML front-end builds the same pipeline as the Scala config") {
+    val input = Seq(
+      ("web/t1/001", 10L), ("web/t2/002", 2000L), ("bad doc id", 5L),
+      ("ghost/t3/003", 7L), ("code/t4/004", 500L)
+    ).toDF("doc_id", "n")
+    val attrs = Seq(("web", "us"), ("code", "eu")).toDF("src_tag", "region")
+
+    val toml =
+      """# pipeline config (vector --config analog)
+        |default_field = "doc_id"
+        |
+        |[transforms.parse0]
+        |type = "parse_grok"
+        |source = "doc_id"
+        |pattern = "%{WORD:src_tag}/%{WORD:tenant}/%{INT:seq:int}"
+        |
+        |[transforms.enrich0]
+        |type = "enrichment"
+        |table = "${ATTRS_TABLE:-source_attrs}"
+        |keys = ["src_tag"]
+        |probe = "region"
+        |
+        |[transforms.keep]
+        |type = "filter"
+        |condition = "n:>=10"
+        |
+        |[transforms.router]
+        |type = "route"
+        |route.hot = "src_tag:web"
+        |route.big = "n:>=1000"
+        |""".stripMargin
+
+    val cfg = TopologyConfig.fromToml(toml,
+      tables = Map("source_attrs" -> attrs), env = Map.empty)
+    val ports = Topology.compile(cfg)(input)
+    // web/t1 (hot), web/t2 (hot+big): multi-match; code/t4 not hot, not big
+    assert(ports("hot").select("doc_id").as[String].collect().sorted.toSeq
+      == Seq("web/t1/001", "web/t2/002"))
+    assert(ports("big").select("doc_id").as[String].collect().toSeq == Seq("web/t2/002"))
+    assert(ports(Route.Unmatched).select("doc_id").as[String].collect().toSeq
+      == Seq("code/t4/004"))
+    // dropped lanes: parse_error (bad doc id) + enrich_miss (ghost)
+    assert(ports(Topology.DroppedPort).select("drop_reason").as[String].collect().sorted.toSeq
+      == Seq("enrich_miss", "parse_error"))
+
+    // same pipeline hand-built in Scala → identical port contents
+    val scalaCfg = Topology.Config(
+      Seq(
+        Topology.ParseStage("doc_id", "%{WORD:src_tag}/%{WORD:tenant}/%{INT:seq:int}"),
+        Topology.EnrichStage(attrs, Seq("src_tag"), "region"),
+        Topology.FilterStage(col("n") >= 10)),
+      Topology.Router(Seq(
+        "hot" -> (col("src_tag") === "web"),
+        "big" -> (col("n") >= 1000))))
+    val sp = Topology.compile(scalaCfg)(input)
+    for (port <- Seq("hot", "big", Route.Unmatched)) {
+      assert(ports(port).select("doc_id").as[String].collect().sorted.toSeq
+        == sp(port).select("doc_id").as[String].collect().sorted.toSeq, s"port $port")
+    }
+  }
+
+  test("TOML parser: types, arrays, comments, env interpolation, errors") {
+    val doc = Toml.parse(
+      """top = "t"
+        |[a.b]
+        |s = "x \"q\" y"     # comment
+        |i = 42
+        |f = 2.5
+        |flag = true
+        |arr = ["p", "q"]
+        |env1 = "${HOME_X:-/fallback}"
+        |env2 = "pre-${MYVAR}-post"
+        |""".stripMargin, env = Map("MYVAR" -> "V"))
+    assert(doc.getS("top").contains("t"))
+    assert(doc.getS("a.b.s").contains("x \"q\" y"))
+    assert(doc.getI("a.b.i").contains(42L))
+    assert(doc.get("a.b.f").contains(Toml.F(2.5)))
+    assert(doc.getB("a.b.flag").contains(true))
+    assert(doc.get("a.b.arr").contains(Toml.A(Seq(Toml.S("p"), Toml.S("q")))))
+    assert(doc.getS("a.b.env1").contains("/fallback"))
+    assert(doc.getS("a.b.env2").contains("pre-V-post"))
+    intercept[IllegalArgumentException](Toml.parse("x = \"${NOPE_UNSET}\"", env = Map.empty))
+    intercept[IllegalArgumentException](Toml.parse("x = nope", env = Map.empty))
+  }
+
+  test("exclusive_route in TOML: declaration order is match order") {
+    val toml =
+      """default_field = "kind"
+        |[transforms.router]
+        |type = "exclusive_route"
+        |route.hot = "kind:error"
+        |route.big = "v:>=200"
+        |""".stripMargin
+    val ports = Topology.compile(TopologyConfig.fromToml(toml, env = Map.empty))(events)
+    assert(ports("hot").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(ports("big").select("id").as[Long].collect().toSeq == Seq(2L)) // 3 taken by hot
+  }
 }

@@ -28,6 +28,28 @@ class EnrichSpec extends SparkSpec {
     assert(out(4L).contains(7))
   }
 
+  test("cidrLookup: longest prefix wins, misses stay null, broadcast-only") {
+    val facts = Seq(
+      (1L, "10.0.3.7"),    // /16 dc-a (beats the /8)
+      (2L, "10.1.200.9"),  // /16 dc-b
+      (3L, "10.2.0.1"),    // /15 dc-c
+      (4L, "10.3.255.254"),// /15 dc-c (second half of the /15)
+      (5L, "10.200.0.1"),  // only the /8 default
+      (6L, "192.168.1.1")  // no match → null
+    ).toDF("id", "ip")
+    val table = Seq(
+      ("10.0.0.0/16", "dc-a"), ("10.1.0.0/16", "dc-b"),
+      ("10.2.0.0/15", "dc-c"), ("10.0.0.0/8", "dc-default")).toDF("cidr", "dc")
+    val out = Enrich.cidrLookup(facts, table, col("ip"))
+    val got = out.select(col("id"), col("dc")).as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("dc-a") && got(2L).contains("dc-b"))
+    assert(got(3L).contains("dc-c") && got(4L).contains("dc-c"))
+    assert(got(5L).contains("dc-default") && got(6L).isEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("lookupBetween stays a broadcast join") {
     val facts = Seq(("web", ts(5), 1L)).toDF("src", "ts", "id")
     val attrs = Seq(("web", ts(0), ts(10), 10)).toDF("src", "from_ts", "to_ts", "price")

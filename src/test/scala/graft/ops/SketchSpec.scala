@@ -35,6 +35,34 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("DDSketch: relative-accuracy bound holds vs exact percentile") {
+    import graft.sketch.DDSketch
+    val sk = df.agg(DDSketch.sketch(col("v")).as("sk"))
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val got = sk.select(DDSketch.quantile(col("sk"), p)).as[Double].head()
+      val exact = df.filter(col("v") > 0).select(expr(s"percentile(v, $p)")).as[Double].head()
+      // γ = 1.01/0.99 → ~1% relative accuracy; allow 2% for rank-vs-value
+      assert(math.abs(got - exact) / exact < 0.02, s"p=$p got=$got exact=$exact")
+    }
+  }
+
+  test("DDSketch merge law: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
+    import graft.sketch.DDSketch
+    val whole = df.agg(DDSketch.sketch(col("v")).as("sk"))
+      .select(to_json(col("sk"))).as[String].head()
+    // split into 7 arbitrary parts, sketch each, merge the sketch COLUMN
+    val parts = df.withColumn("part", pmod(col("id"), lit(7)))
+      .groupBy("part").agg(DDSketch.sketch(col("v")).as("sk"))
+    val merged = parts.agg(DDSketch.merge(col("sk")).as("sk"))
+      .select(to_json(col("sk"))).as[String].head()
+    assert(merged == whole)
+    // and the merged sketch answers quantiles identically
+    val qWhole = df.agg(DDSketch.quantile(DDSketch.sketch(col("v")), 0.9)).as[Double].head()
+    val qMerged = parts.agg(DDSketch.merge(col("sk")).as("m"))
+      .select(DDSketch.quantile(col("m"), 0.9)).as[Double].head()
+    assert(qWhole == qMerged)
+  }
+
   test("bloom filter: zero false negatives, bounded false positives") {
     val bloom = df.stat.bloomFilter("key", 5000, 0.03)
     // no false negatives: every present key must test positive
