@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * into remap at src/transforms/remap.rs:219-224; inventory SURVEY.md §2.5).
   *
   * Functions are grouped as in the survey. Everything here is built from
-  * `org.apache.spark.sql.functions` (codegen'd, no UDFs); each has a DuckDB
-  * twin in FunctionQueries.oracleSql. Deliberately NOT ported: crypto
-  * beyond hashes (encrypt/decrypt/hmac), protobuf/cbor codecs, MaxMind
-  * lookups (no data), random_* (nondeterministic by design — Spark `rand`
-  * with a seed is the analog).
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs) or a native
+  * expression ([[ShannonEntropy]]); most have a DuckDB twin in
+  * FunctionQueries.oracleSql (crc32/hmac/sha512 have no DuckDB analog and
+  * are verified against the JVM reference implementations in HashSpec).
+  * Deliberately NOT ported: encrypt/decrypt (symmetric crypto on columns),
+  * protobuf/cbor codecs, MaxMind lookups (no data; the CIDR table shape is
+  * `Enrich.cidrLookup`), punycode, random_* (nondeterministic by design —
+  * Spark `rand` with a seed is the analog).
   */
 object Vrl {
 
@@ -109,17 +112,14 @@ object Vrl {
     sha2(concat(lit(opad), unhex(inner)), 256)
   }
 
-  /** `shannon_entropy` over characters (bits/char). Nested higher-order
-    * fns — adequate for scoring-sized strings; a hot path would use a
-    * native Expression like [[graft.sim.DotProduct]].
+  /** `shannon_entropy` over characters (bits/char) — native codegen'd
+    * [[ShannonEntropy]] expression (single primitive loop; the equivalent
+    * nested-higher-order-function formulation interprets its lambdas at
+    * O(distinct·len) per row — see EntropySpec for the equivalence test).
     */
   def shannonEntropy(c: Column): Column = {
-    val chars = split(c, "", -1)
-    val n = size(chars).cast("double")
-    -aggregate(array_distinct(chars), lit(0.0), (acc, ch) => {
-      val p = size(filter(chars, x => x === ch)).cast("double") / n
-      acc + p * log(2.0, p)
-    })
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ShannonEntropy(Bridge.expression(c)))
   }
 
   // ---------------- number / math ----------------
