@@ -202,7 +202,9 @@ object Dedupe {
     l.join(r, Seq("band", "band_hash")).filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"),
         bit_count(col("sim_l").bitwiseXOR(col("sim_r"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming-filter BEFORE the dedup shuffle: the distinct (needed — a
+      // pair can collide in >1 band) then shuffles only surviving pairs
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

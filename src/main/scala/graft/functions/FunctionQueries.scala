@@ -323,6 +323,39 @@ object FunctionQueries {
         element_at(V.cefExtension(cef), "id").cast("long").as("ext_id"))
     }),
 
+    // ---- format family: format_timestamp, unix ms, format_number,
+    //      strip_ansi_escape_codes, parse_query_string, parse_int radix ----
+    "f_format" -> ((s, dir) => {
+      val qs = concat(lit("a="), col("user_id"), lit("&b="), col("event_type"))
+      ev(s, dir).select(col("event_id"),
+        V.formatTimestamp(col("ts"), "yyyy/MM/dd HH").as("fmt_ts"),
+        V.toUnixMs(col("ts").cast("timestamp")).as("ts_ms"), // events.ts is NTZ
+        format_number(col("event_id"), 0).as("fmt_n"),
+        V.stripAnsi(concat(lit("\u001b[31m"), col("event_type"),
+          lit("\u001b[0m plain"))).as("no_ansi"),
+        element_at(V.parseQueryString(qs), "b").as("qs_b"),
+        V.parseBin(bin(pmod(col("event_id"), lit(1024)))).as("bin_rt"),
+        V.parseOct(conv(pmod(col("event_id"), lit(1024)), 10, 8)).as("oct_rt"))
+    }),
+
+    // ---- parse_glog (Google log format; glog grok patterns) ----
+    "f_parse_glog" -> ((s, dir) => {
+      val line = concat(
+        element_at(array(lit("I"), lit("W"), lit("E"), lit("F")),
+          (pmod(col("event_id"), lit(4)) + 1).cast("int")),
+        date_format(col("ts"), "MMdd"), lit(" "),
+        date_format(col("ts"), "HH:mm:ss.SSSSSS"), lit(" "),
+        pmod(col("user_id"), lit(10000)), lit(" srv.cc:"),
+        pmod(col("event_id"), lit(1000)), lit("] op "), col("event_type"))
+      graft.parse.Grok.parse(ev(s, dir).withColumn("line", line), col("line"),
+        graft.parse.Grok.compile(
+          "%{GLOGLEVEL:level}%{GLOGDATE:mmdd} %{NOTSPACE:time} " +
+            "%{POSINT:tid:int} %{NOTSPACE:srcfile}:%{POSINT:lineno:int}] %{GREEDYDATA:msg}"))
+        .filter(col("_parse_ok"))
+        .select(col("event_id"), col("level"), col("mmdd"), col("time"),
+          col("tid"), col("srcfile"), col("lineno"), col("msg"))
+    }),
+
     // ---- parse_etld / eTLD+1 over the embedded public-suffix subset ----
     "f_etld" -> ((s, dir) => {
       val picks = Seq("example.com", "example.co.uk", "test.github.io",
@@ -382,6 +415,32 @@ object FunctionQueries {
          | CAST(regexp_extract(line, '$hdr', 7) AS INT) AS severity,
          | CAST(regexp_extract(line, 'user=(\\d+)', 1) AS BIGINT) AS ext_user,
          | CAST(regexp_extract(line, 'id=(\\d+)', 1) AS BIGINT) AS ext_id
+         |FROM (SELECT event_id, $line AS line FROM events)""".stripMargin
+    },
+
+    "f_format" ->
+      """SELECT event_id,
+        | strftime(ts, '%Y/%m/%d %H') AS fmt_ts,
+        | epoch_ms(ts) AS ts_ms,
+        | format('{:,}', event_id) AS fmt_n,
+        | (event_type || ' plain') AS no_ansi,
+        | event_type AS qs_b,
+        | CAST(event_id % 1024 AS BIGINT) AS bin_rt,
+        | CAST(event_id % 1024 AS BIGINT) AS oct_rt
+        |FROM events""".stripMargin,
+
+    "f_parse_glog" -> {
+      val line = "((CASE (event_id % 4) WHEN 0 THEN 'I' WHEN 1 THEN 'W' WHEN 2 THEN 'E' ELSE 'F' END)" +
+        " || strftime(ts, '%m%d') || ' ' || strftime(ts, '%H:%M:%S.%f') || ' ' ||" +
+        " (user_id % 10000) || ' srv.cc:' || (event_id % 1000) || '] op ' || event_type)"
+      s"""SELECT event_id,
+         | regexp_extract(line, '^([IWEF])', 1) AS level,
+         | regexp_extract(line, '^[IWEF](\\d{4})', 1) AS mmdd,
+         | regexp_extract(line, '^\\S+ (\\S+)', 1) AS time,
+         | CAST(regexp_extract(line, '^\\S+ \\S+ (\\d+)', 1) AS BIGINT) AS tid,
+         | regexp_extract(line, ' (\\S+):\\d+\\]', 1) AS srcfile,
+         | CAST(regexp_extract(line, ':(\\d+)\\]', 1) AS BIGINT) AS lineno,
+         | regexp_extract(line, '\\] (.*)$$', 1) AS msg
          |FROM (SELECT event_id, $line AS line FROM events)""".stripMargin
     },
 

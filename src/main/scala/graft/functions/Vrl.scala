@@ -48,12 +48,25 @@ object Vrl {
       .when(unit === "m", 60.0).when(unit === "h", 3600.0)
   }
 
-  /** `parse_int` with radix 16. */
+  /** `parse_int` with radix 16 / 2 / 8. */
   def parseHex(c: Column): Column = conv(c, 16, 10).cast("long")
+  def parseBin(c: Column): Column = conv(c, 2, 10).cast("long")
+  def parseOct(c: Column): Column = conv(c, 8, 10).cast("long")
 
-  /** `from_unix_timestamp` / `to_unix_timestamp`. */
+  /** `from_unix_timestamp` / `to_unix_timestamp` (+ millisecond variant). */
   def fromUnix(c: Column): Column = to_timestamp(c)
   def toUnix(c: Column): Column = unix_timestamp(c)
+  def toUnixMs(c: Column): Column = unix_millis(c)
+
+  /** `format_timestamp` with an explicit pattern. */
+  def formatTimestamp(c: Column, fmt: String): Column = date_format(c, fmt)
+
+  /** `strip_ansi_escape_codes`. */
+  def stripAnsi(c: Column): Column =
+    regexp_replace(c, "\u001b\\[[0-9;]*[A-Za-z]", "")
+
+  /** `parse_query_string`: "a=1&b=x" → map. */
+  def parseQueryString(c: Column): Column = str_to_map(c, lit("&"), lit("="))
 
   // ---------------- string ----------------
 

@@ -37,6 +37,8 @@ object Grok {
     "PROG" -> "[\\w._/-]+",
     "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)",
     "HTTPDATE" -> "\\d{2}/\\w{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}",
+    "GLOGLEVEL" -> "[IWEF]",
+    "GLOGDATE" -> "\\d{4}",
     "QS" -> "\"[^\"]*\"")
 
   /** VRL `parse_common_log` / `parse_nginx_log` named wrappers (reference:
