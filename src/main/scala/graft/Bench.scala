@@ -15,6 +15,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup: parquet footers, codegen, shuffle machinery — without
+    // it the map's FIRST query absorbs all JVM/session init in its timing
+    scala.util.Try {
+      spark.read.parquet(s"$sfDir/events.parquet").count()
+      spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

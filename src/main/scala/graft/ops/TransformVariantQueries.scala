@@ -163,6 +163,14 @@ object TransformVariantQueries {
           DDSketch.quantile(col("sk"), 0.95).as("p95"))
     }),
 
+    // ---- sink-path template: {{ field }} + strftime (src/template.rs) ----
+    "v_template" -> ((s, dir) => {
+      ev(s, dir).select(col("event_id"),
+        graft.config.Template.render(
+          "logs/{{ event_type }}/%Y-%m-%d/u{{ user_id }}-%H.log",
+          col("ts")).as("path"))
+    }),
+
     // ---- json codec: encode (to_json) + decode (from_json) round trip ----
     "v_json_codec" -> ((s, dir) => {
       val j = to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
@@ -326,6 +334,12 @@ object TransformVariantQueries {
          |  round(2 * power($g, min(CASE WHEN cum >= floor(0.95 * (n - 1)) + 1 THEN bi END)) / ${g + 1.0}, 6) AS p95
          |FROM t GROUP BY event_type, n""".stripMargin
     },
+
+    "v_template" ->
+      """SELECT event_id,
+        | ('logs/' || event_type || '/' || strftime(ts, '%Y-%m-%d') || '/u'
+        |  || user_id || '-' || strftime(ts, '%H') || '.log') AS path
+        |FROM events""".stripMargin,
 
     "v_json_codec" ->
       """SELECT event_id,

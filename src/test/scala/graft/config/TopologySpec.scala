@@ -166,6 +166,26 @@ class TopologySpec extends SparkSpec {
     intercept[IllegalArgumentException](Toml.parse("x = nope", env = Map.empty))
   }
 
+  test("template renders {{ field }} + strftime and partitions a write") {
+    val df = Seq(
+      ("error", java.sql.Timestamp.valueOf("2026-03-05 14:00:00"), 1L),
+      ("click", java.sql.Timestamp.valueOf("2026-03-06 09:30:00"), 2L)
+    ).toDF("kind", "ts", "id")
+    val rendered = df.select(col("id"),
+      Template.render("k-{{ kind }}-%Y-%m-%d", col("ts")).as("pk"))
+    val got = rendered.as[(Long, String)].collect().toMap
+    assert(got(1L) == "k-error-2026-03-05" && got(2L) == "k-click-2026-03-06")
+    // 100%% escape + unknown code error
+    assert(df.select(Template.render("a%%b", col("ts"))).as[String].head() == "a%b")
+    intercept[IllegalArgumentException](Template.render("%Q", col("ts")))
+    // templated partitioned write → one directory per rendered value
+    val dir = java.nio.file.Files.createTempDirectory("tmpl").toString + "/t"
+    df.withColumn("pk", Template.render("{{ kind }}-%Y", col("ts")))
+      .write.partitionBy("pk").parquet(dir)
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("pk=")).sorted
+    assert(dirs.toSeq == Seq("pk=click-2026", "pk=error-2026"))
+  }
+
   test("exclusive_route in TOML: declaration order is match order") {
     val toml =
       """default_field = "kind"
