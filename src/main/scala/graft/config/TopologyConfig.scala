@@ -72,6 +72,26 @@ object TopologyConfig {
           stages += Topology.EnrichStage(table, keys,
             doc.getS(s"$p.probe").getOrElse(
               throw new IllegalArgumentException(s"[$p] missing probe")))
+        case "remap" =>
+          // ops in DECLARATION order (VRL programs are ordered): keys are
+          // set.<field> = "<vrl expr>", filter = "<cond>",
+          // abort_when = "<cond>" (+ abort_reason), del = ["f", ...]
+          import graft.remap.{Remap, VrlExpr}
+          var program = Remap(componentId = name)
+          val abortReason = doc.getS(s"$p.abort_reason").getOrElse("abort")
+          doc.under(p).foreach {
+            case (k, Toml.S(e)) if k.startsWith("set.") =>
+              program = program.set(k.stripPrefix("set."), VrlExpr.compile(e))
+            case ("filter", Toml.S(e)) =>
+              program = program.filterKeep(VrlExpr.compile(e))
+            case ("abort_when", Toml.S(e)) =>
+              program = program.abortWhen(VrlExpr.compile(e), abortReason)
+            case ("del", Toml.A(items)) =>
+              items.collect { case Toml.S(f) => f }.foreach(f => program = program.del(f))
+            case ("type", _) | ("abort_reason", _) => ()
+            case (k, v) => throw new IllegalArgumentException(s"[$p] bad remap op $k = $v")
+          }
+          stages += Topology.RemapStage(program)
         case "route" | "exclusive_route" =>
           require(router.isEmpty, s"[$p] second router in config")
           require(name == names.last, s"[$p] router must be the last transform")

@@ -163,6 +163,31 @@ object Vrl {
       (c / 16777216L).cast("long") % 256, (c / 65536L).cast("long") % 256,
       (c / 256L).cast("long") % 256, c.cast("long") % 256)
 
+  /** `community_id` v1 (reference VRL `community_id`; the public
+    * Zeek/Corelight spec): `"1:" + base64(sha1(seed_be16 || addr1 || addr2
+    * || proto || 0x00 || port1_be16 || port2_be16))` with the endpoint
+    * pairs flipped so the smaller (addr, port) comes first. Pure column
+    * composition over `sha1`/`unhex`/`base64` — codegen'd, no UDF.
+    * Verified against the spec's canonical vector in HashSpec (no DuckDB
+    * sha1, so no SQL oracle).
+    */
+  def communityId(srcIp: Column, dstIp: Column, srcPort: Column, dstPort: Column,
+                  proto: Column, seed: Int = 0): Column = {
+    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
+    val (sa, da) = (ipAton(srcIp), ipAton(dstIp))
+    val flip = da < sa || (da === sa && dstPort < srcPort)
+    val addr1 = be32(when(flip, da).otherwise(sa))
+    val addr2 = be32(when(flip, sa).otherwise(da))
+    val port1 = be16(when(flip, dstPort).otherwise(srcPort))
+    val port2 = be16(when(flip, srcPort).otherwise(dstPort))
+    val seedBytes = Array[Byte](((seed >> 8) & 0xff).toByte, (seed & 0xff).toByte)
+    val payload = concat(lit(seedBytes), addr1, addr2,
+      unhex(lpad(hex(proto.cast("long")), 2, "0")), lit(Array[Byte](0)),
+      port1, port2)
+    concat(lit("1:"), base64(unhex(sha1(payload))))
+  }
+
   /** `ip_cidr_contains`: both addresses shifted down to the network prefix. */
   def ipCidrContains(net: Column, prefix: Int, ip: Column): Column = {
     val shift = math.pow(2, 32 - prefix).toLong

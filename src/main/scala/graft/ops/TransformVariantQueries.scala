@@ -73,6 +73,12 @@ object TransformVariantQueries {
         col("ts"), round(col("value"), 2))
     }),
 
+    // ---- reduce max_events flush (reduce/config.rs) ----
+    "v_reduce_max_events" -> ((s, dir) => {
+      Transforms.reduceMaxEvents(ev(s, dir), Seq(col("user_id")), col("ts"),
+        col("event_id"), round(col("value"), 2), maxEvents = 8)
+    }),
+
     // ---- window + forward_when (window/config.rs:44-50) ----
     "v_window_forward" -> ((s, dir) => {
       Transforms.contextWindowForward(ev(s, dir), col("user_id"),
@@ -249,6 +255,15 @@ object TransformVariantQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
         |  FROM events)
         |GROUP BY user_id, session""".stripMargin,
+
+    "v_reduce_max_events" ->
+      """SELECT user_id, CAST(chunk AS BIGINT) AS chunk, count(*) AS n_merged,
+        | min(ts) AS first_ts, max(ts) AS last_ts,
+        | round(sum(round(value, 2)), 2) AS sum_value
+        |FROM (
+        |  SELECT *, (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 8 AS chunk
+        |  FROM events)
+        |GROUP BY user_id, chunk""".stripMargin,
 
     "v_window_forward" ->
       """SELECT event_id FROM (

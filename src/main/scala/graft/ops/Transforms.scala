@@ -287,6 +287,20 @@ object Transforms {
           x => x.getField("l")), "\n").as("message"))
   }
 
+  /** `reduce` with `max_events` (reference: reduce/config.rs — a group
+    * flushes once it has merged N events). Batch analog: arrival-ordered
+    * chunks of `maxEvents` per key, each merged independently.
+    */
+  def reduceMaxEvents(df: DataFrame, keys: Seq[Column], ts: Column, tie: Column,
+                      value: Column, maxEvents: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ts, tie)
+    df.withColumn("_chunk", floor((row_number().over(w) - 1) / maxEvents))
+      .groupBy(keys :+ col("_chunk"): _*)
+      .agg(count(lit(1)).as("n_merged"), min(ts).as("first_ts"),
+        max(ts).as("last_ts"), round(sum(value), 2).as("sum_value"))
+      .withColumnRenamed("_chunk", "chunk")
+  }
+
   /** `window` with `forward_when` bypass (reference: window/config.rs:44-50
     * — matching events always pass, independent of the ring buffer).
     */

@@ -166,6 +166,32 @@ class TopologySpec extends SparkSpec {
     intercept[IllegalArgumentException](Toml.parse("x = nope", env = Map.empty))
   }
 
+  test("TOML remap stage: ordered set/abort/del ops compile to a VRL program") {
+    val input = Seq((10L, 100L), (997L, 2000L), (5L, 300L)).toDF("seq", "n")
+    val toml =
+      """default_field = "bucket"
+        |[transforms.r]
+        |type = "remap"
+        |set.bucket = "if(.n >= 1024, 'long', if(.n >= 256, 'mid', 'short'))"
+        |set.double_n = ".n * 2"
+        |abort_when = ".seq % 997 == 0"
+        |abort_reason = "magic"
+        |del = ["seq"]
+        |
+        |[transforms.router]
+        |type = "route"
+        |route.big = "double_n:>=600"
+        |""".stripMargin
+    val ports = Topology.compile(TopologyConfig.fromToml(toml, env = Map.empty))(input)
+    // seq=997 aborts; n=300 doubles to 600 → big; n=100 → unmatched
+    assert(ports("big").select("n", "bucket", "double_n").as[(Long, String, Long)]
+      .collect().toSeq == Seq((300L, "mid", 600L)))
+    assert(ports(Route.Unmatched).select("n").as[Long].collect().toSeq == Seq(100L))
+    assert(ports("big").columns.toSet == Set("n", "bucket", "double_n")) // seq deleted
+    assert(ports(Topology.DroppedPort).select("drop_reason").as[String]
+      .collect().toSeq == Seq("magic"))
+  }
+
   test("template renders {{ field }} + strftime and partitions a write") {
     val df = Seq(
       ("error", java.sql.Timestamp.valueOf("2026-03-05 14:00:00"), 1L),

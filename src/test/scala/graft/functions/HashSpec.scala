@@ -44,6 +44,24 @@ class HashSpec extends SparkSpec {
     }
   }
 
+  test("community_id v1 matches the spec's canonical vector and is symmetric") {
+    val flows = Seq(
+      ("128.232.110.120", "66.35.250.204", 34855, 80, 6),
+      ("66.35.250.204", "128.232.110.120", 80, 34855, 6), // reversed direction
+      ("10.0.0.1", "10.0.0.2", 1234, 80, 17)
+    ).toDF("sip", "dip", "sport", "dport", "proto")
+    val got = flows.select(Vrl.communityId(col("sip"), col("dip"),
+      col("sport"), col("dport"), col("proto")).as("cid")).as[String].collect()
+    // canonical test vector from the public community-id spec
+    assert(got(0) == "1:LQU9qZlK+B5F3KDmev6m5PMibrg=")
+    assert(got(1) == got(0)) // direction-independent
+    assert(got(2) == "1:rMBNUdRdoGkBtgz02Zjj8IU8dN4=")
+    // seed participates in the hash
+    val seeded = flows.limit(1).select(Vrl.communityId(col("sip"), col("dip"),
+      col("sport"), col("dport"), col("proto"), seed = 1)).as[String].head()
+    assert(seeded != got(0))
+  }
+
   test("sha512 matches MessageDigest") {
     val got = inputs.toDF("s")
       .select(col("s"), Vrl.sha512Hex(col("s")).as("h"))
