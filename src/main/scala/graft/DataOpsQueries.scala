@@ -132,6 +132,27 @@ object DataOpsQueries {
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     }),
 
+    // ---- repetition signals (Gopher dup-word / top-bigram fractions) ----
+    "t_text_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(Tables.documents(s, dir), col("text"), col("doc_id"))
+    }),
+
+    // ---- benchmark decontamination (3-gram overlap vs a benchmark set) ----
+    "d_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedupe.contamination(docs, col("text"), col("doc_id"),
+        bench = docs.filter(col("doc_id") < 5), benchText = col("text"), n = ShingleN)
+    }),
+
+    // ---- greedy sequence packing into fixed token budgets (LLM batching) ----
+    "p_pack_sequences" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.tokens.TokenOps.packSequences(
+        Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF()
+          .select(col("doc_id"), col("n_tok"), col("source")),
+        budget = 8192).toDF()
+    }),
+
     // ---- exact dedup (hash-groupBy, smallest-id representative) ----
     "d_dedupe_exact" -> ((s, dir) => {
       Dedupe.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
@@ -265,6 +286,57 @@ object DataOpsQueries {
     "d_dedupe_exact" ->
       s"""SELECT doc_id, ${dH15("text")} AS text_hash FROM documents
          |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+
+    "t_text_repetition" ->
+      """SELECT doc_id,
+        | round(CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS dup_word_frac,
+        | CAST(top AS BIGINT) AS top_bigram_n,
+        | round(CASE WHEN len(tk) >= 2 THEN 2.0 * top / len(tk) ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) >= 2 THEN list_max(list_transform(list_distinct(bgs),
+        |         b -> len(list_filter(bgs, x -> x = b)))) ELSE 0 END AS top
+        |  FROM (SELECT doc_id, tk,
+        |          CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1),
+        |               j -> tk[j] || ' ' || tk[j+1]) ELSE CAST([] AS VARCHAR[]) END AS bgs
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)))""".stripMargin,
+
+    "d_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= $ShingleN
+         |  THEN list_transform(generate_series(1, len(tk)-${ShingleN - 1}),
+         |       j -> tk[j]||' '||tk[j+1]||' '||tk[j+2])
+         |  ELSE CAST([] AS VARCHAR[]) END) AS sh FROM tk),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 5),
+         |dsh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hits AS (SELECT d.doc_id, count(b.s) AS n
+         |         FROM dsh d LEFT JOIN bsh b ON d.s = b.s GROUP BY d.doc_id)
+         |SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+         |       coalesce(h.n, 0) > 0 AS contaminated
+         |FROM tk t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+
+    // greedy packing fold: per source, doc_id order; a bin closes when the
+    // next sequence would overflow the budget (oversized seqs pack alone)
+    "p_pack_sequences" -> {
+      val budget = 8192
+      s"""WITH raw AS (SELECT doc_id, source, n_tok
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen10k/*.parquet')),
+         |g AS (SELECT source, list(struct_pack(d := doc_id, n := n_tok) ORDER BY doc_id) AS xs
+         |      FROM raw GROUP BY source),
+         |f AS (SELECT source,
+         |  list_reduce(
+         |    list_prepend([struct_pack(d := '', n := 0, cum := CAST(0 AS BIGINT), bin := CAST(0 AS BIGINT))],
+         |      list_transform(xs, x -> [struct_pack(d := x.d, n := x.n, cum := CAST(0 AS BIGINT), bin := CAST(0 AS BIGINT))])),
+         |    (acc, x) -> acc ||
+         |      [struct_pack(d := x[1].d, n := x[1].n,
+         |        cum := CASE WHEN acc[len(acc)].cum + x[1].n > $budget AND acc[len(acc)].cum > 0
+         |                    THEN CAST(x[1].n AS BIGINT) ELSE acc[len(acc)].cum + x[1].n END,
+         |        bin := CASE WHEN acc[len(acc)].cum + x[1].n > $budget AND acc[len(acc)].cum > 0
+         |                    THEN acc[len(acc)].bin + 1 ELSE acc[len(acc)].bin END)]) AS packed
+         |  FROM g)
+         |SELECT source, u.d AS doc_id, u.n AS n_tok, u.bin AS bin
+         |FROM f, unnest(packed) AS t(u) WHERE u.d <> ''""".stripMargin
+    },
 
     "d_curation_pipeline" -> {
       val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>

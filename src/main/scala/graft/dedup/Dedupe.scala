@@ -152,6 +152,25 @@ object Dedupe {
     jaccardVerify(minhashCandidates(minhashBands(df, text, id, n, k, bands)),
       df, text, id, n, threshold)
 
+  /** Benchmark-contamination check: per document, the number of its word
+    * n-gram shingles that also occur in a benchmark corpus (the
+    * decontamination step of a serious training-data pipeline). The
+    * benchmark's distinct shingles aggregate once and BROADCAST; the corpus
+    * side explodes and left-joins — no literal arrays, no driver round
+    * trip, and the 100 TB side never shuffles on anything but its own
+    * explode.
+    */
+  def contamination(df: DataFrame, text: Column, id: Column,
+                    bench: DataFrame, benchText: Column, n: Int = 3): DataFrame = {
+    val bsh = bench.select(explode(shingles(benchText, n)).as("sh")).distinct()
+      .withColumn("_hit", lit(1L))
+    df.select(id.as("doc_id"), explode_outer(shingles(text, n)).as("sh"))
+      .join(broadcast(bsh), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** 32-bit SimHash over distinct word tokens: per bit, sign of the
     * sum of ±1 votes from each token hash. 32 codegen'd folds — narrow map.
     */

@@ -100,4 +100,33 @@ object TextOps {
     aggregate(words(text), lit(0L),
       (acc, t) => pmod(acc * 31L + g(t), lit(2147483647L)))
   }
+
+  /** Gopher-style repetition signals per document: duplicate-word fraction
+    * and the fraction of the text covered by its most frequent word bigram
+    * (high values flag boilerplate/spam). Scalable shape: explode bigrams →
+    * two hash aggregates (both map-side combinable) — NOT a per-row
+    * O(distinct²) nested-lambda count.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, text: Column,
+                      id: Column): org.apache.spark.sql.DataFrame = {
+    val base = df.select(id.as("doc_id"), words(text).as("tk"))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("tk"))).cast("long"))
+    val bigrams = base.select(col("doc_id"), col("n_words"), col("n_uniq"),
+      explode_outer(when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          j => concat_ws(" ", slice(col("tk"), j, lit(2)))))
+        .otherwise(array())).as("bg"))
+    bigrams.groupBy(col("doc_id"), col("n_words"), col("n_uniq"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_words"), col("n_uniq"))
+      .agg(max(when(col("bg").isNotNull, col("c")).otherwise(0L)).as("top_bigram_n"))
+      .select(col("doc_id"),
+        round((col("n_words") - col("n_uniq")).cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        col("top_bigram_n").cast("long").as("top_bigram_n"),
+        round(when(col("n_words") >= 2,
+          lit(2.0) * col("top_bigram_n") / col("n_words")).otherwise(0.0), 6)
+          .as("top_bigram_frac"))
+  }
 }
