@@ -73,6 +73,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ddsketch aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(spark.read.parquet(dir).groupBy(col("source"))
+      .agg(graft.sketch.DDSketch.sketch(col("n_tok")).as("sk")))
+    val exchangeLine = p.linesIterator.indexWhere(_.contains("Exchange"))
+    val partialLine = p.linesIterator.indexWhere(_.contains("partial_ddsketch"))
+    assert(partialLine > exchangeLine && exchangeLine >= 0,
+      s"partial_ddsketch must sit below (before) the Exchange:\n$p")
+  }
+
+  test("sequence packing is one shuffle + partition-local sort + one pass") {
+    val p = plan(graft.tokens.TokenOps.packSequences(
+      spark.read.parquet(dir).select("doc_id", "n_tok", "source"), 4096).toDF())
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1, p)
+    // the Sort node must be partition-local (global = false), never a
+    // range-partitioned global sort
+    val sortLine = p.linesIterator.find(_.trim.startsWith("+- Sort")).getOrElse(
+      fail(s"no Sort in plan:\n$p"))
+    assert(sortLine.contains("false"), s"sort must be partition-local: $sortLine")
+  }
+
   test("whole-stage codegen covers the parse+enrich+remap pipeline") {
     val (flagged, _) = TokenPipeline.dataflow(
       spark.read.parquet(dir), Gen.sourceAttrs(spark), 1024)
