@@ -219,6 +219,28 @@ object DataOpsQueries {
           sum(TextOps.wordCount(col("text")).cast("long")).as("total_words"))
     }),
 
+    // ---- full curation: quality + repetition + decontamination gates →
+    //      lang-ID → exact dedup → per-(pred_lang, source) corpus stats.
+    //      The one-call "curate my corpus" composition of every gate. ----
+    "d_curation_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepRep = TextOps.repetitionStats(docs, col("text"), col("doc_id"))
+        .filter(col("top_bigram_frac") <= 0.2).select("doc_id")
+      val keepCont = Dedupe.contamination(docs, col("text"), col("doc_id"),
+        bench = docs.filter(col("doc_id") < 5), benchText = col("text"), n = ShingleN)
+        .filter(!col("contaminated")).select("doc_id")
+      val curated = docs.filter(TextOps.qualityKeep(col("text")))
+        .join(keepRep, Seq("doc_id"), "left_semi")
+        .join(keepCont, Seq("doc_id"), "left_semi")
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+      Dedupe.exact(curated, col("text"), col("doc_id"))
+        .groupBy(col("pred_lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(TextOps.wordCount(col("text")).cast("double")) + lit(1e-9), 4)
+            .as("avg_words"))
+    }),
+
     // ---- IVF ANN (hash-seeded deterministic centroids + nprobe search;
     //      the ML-KMeans variant stays in DataOpsSpec for recall testing) ----
     "d_ann_ivf" -> ((s, dir) => {
@@ -362,6 +384,48 @@ object DataOpsQueries {
     "d_minhash_bands" -> {
       val bands = (0 until MinHashBands).map(b => s"${duckBand(b)} AS b$b").mkString(", ")
       s"$duckShingleCtes\nSELECT doc_id, $bands FROM sig"
+    },
+
+    "d_curation_full" -> {
+      val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>
+        s"len(list_filter(tkk, t -> t IN ${duckIn(prof)})) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.StopwordProfiles.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val pick = langs.map(l => s"WHEN h_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH tk AS (SELECT *, string_split(text,' ') AS tkk FROM documents),
+         |rep AS (SELECT doc_id FROM (
+         |  SELECT doc_id, round(CASE WHEN len(tkk) >= 2
+         |    THEN 2.0 * list_max(list_transform(list_distinct(bgs),
+         |         b -> len(list_filter(bgs, x -> x = b)))) / len(tkk)
+         |    ELSE 0.0 END, 6) AS f
+         |  FROM (SELECT doc_id, tkk, CASE WHEN len(tkk) >= 2
+         |          THEN list_transform(generate_series(1, len(tkk)-1), j -> tkk[j]||' '||tkk[j+1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS bgs FROM tk))
+         |  WHERE f <= 0.2),
+         |shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tkk) >= $ShingleN
+         |  THEN list_transform(generate_series(1, len(tkk)-${ShingleN - 1}),
+         |       j -> tkk[j]||' '||tkk[j+1]||' '||tkk[j+2])
+         |  ELSE CAST([] AS VARCHAR[]) END) AS sh FROM tk),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM shg WHERE doc_id < 5),
+         |dsh AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+         |hits2 AS (SELECT d.doc_id, count(*) AS n FROM dsh d JOIN bsh b ON d.s = b.s GROUP BY d.doc_id),
+         |cont AS (SELECT t.doc_id FROM tk t LEFT JOIN hits2 h USING (doc_id)
+         |         WHERE coalesce(h.n, 0) = 0),
+         |kept AS (SELECT * FROM tk
+         |  WHERE (len(tkk) BETWEEN 10 AND 100000)
+         |   AND (round(list_sum(list_transform(tkk, t -> len(t)))::DOUBLE / len(tkk)::DOUBLE, 4) BETWEEN 2 AND 12)
+         |   AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2)),
+         |curated AS (SELECT k.* FROM kept k
+         |  JOIN rep USING (doc_id) JOIN cont USING (doc_id)),
+         |langed AS (SELECT *, (CASE $pick ELSE 'und' END) AS pred_lang
+         |  FROM (SELECT *, $hits FROM curated)),
+         |dedup AS (SELECT * FROM langed
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         |SELECT pred_lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(avg(CAST(len(tkk) AS DOUBLE)) + 1e-9, 4) AS avg_words
+         |FROM dedup GROUP BY pred_lang, source""".stripMargin
     },
 
     "d_minhash_pairs" -> {

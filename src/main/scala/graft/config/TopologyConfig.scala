@@ -75,7 +75,8 @@ object TopologyConfig {
         case "remap" =>
           // ops in DECLARATION order (VRL programs are ordered): keys are
           // set.<field> = "<vrl expr>", filter = "<cond>",
-          // abort_when = "<cond>" (+ abort_reason), del = ["f", ...]
+          // abort_when = "<cond>" (+ abort_reason), del = ["f", ...],
+          // rename.<from> = "<to>"
           import graft.remap.{Remap, VrlExpr}
           var program = Remap(componentId = name)
           val abortReason = doc.getS(s"$p.abort_reason").getOrElse("abort")
@@ -88,6 +89,8 @@ object TopologyConfig {
               program = program.abortWhen(VrlExpr.compile(e), abortReason)
             case ("del", Toml.A(items)) =>
               items.collect { case Toml.S(f) => f }.foreach(f => program = program.del(f))
+            case (k, Toml.S(to)) if k.startsWith("rename.") =>
+              program = program.rename(k.stripPrefix("rename."), to)
             case ("type", _) | ("abort_reason", _) => ()
             case (k, v) => throw new IllegalArgumentException(s"[$p] bad remap op $k = $v")
           }

@@ -173,10 +173,11 @@ class TopologySpec extends SparkSpec {
         |[transforms.r]
         |type = "remap"
         |set.bucket = "if(.n >= 1024, 'long', if(.n >= 256, 'mid', 'short'))"
-        |set.double_n = ".n * 2"
+        |set.dn = ".n * 2"
         |abort_when = ".seq % 997 == 0"
         |abort_reason = "magic"
         |del = ["seq"]
+        |rename.dn = "double_n"
         |
         |[transforms.router]
         |type = "route"
