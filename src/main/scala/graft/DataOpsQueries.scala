@@ -185,6 +185,14 @@ object DataOpsQueries {
       Dedupe.simhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"), maxDist = 3)
     }),
 
+    // ---- near-dup clusters: pairs → connected components (the dedup
+    //      GROUPING step — component id = deterministic representative) ----
+    "d_neardup_components" -> ((s, dir) => {
+      val pairs = Dedupe.simhashNearDups(Tables.documents(s, dir),
+        col("text"), col("doc_id"), maxDist = 3)
+      Dedupe.components(pairs).select(col("id").as("doc_id"), col("component"))
+    }),
+
     // ---- embedding cosine near-dups within LSH sign buckets ----
     "d_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDups(Tables.embeddings(s, dir), col("vec_id"),
@@ -472,6 +480,31 @@ object DataOpsQueries {
          |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
          |   AND l.doc_id < r.doc_id)
          |WHERE hamming <= 3""".stripMargin,
+
+    // transitive closure of the (deterministic) simhash pair graph, min
+    // reachable id per node — the SQL twin of the label-propagation CC
+    "d_neardup_components" ->
+      s"""WITH RECURSIVE sims AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
+         |  FROM (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')),
+         |          t -> ${dH15("t")}) AS hs FROM documents)),
+         |bands AS (
+         |  SELECT doc_id, sim, b AS band, (sim >> (8*b)) & 255 AS band_hash
+         |  FROM sims, unnest([0,1,2,3]) AS t(b)),
+         |prs AS (SELECT id_l, id_r FROM (
+         |  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         |    CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |   AND l.doc_id < r.doc_id)
+         |  WHERE hamming <= 3),
+         |edges AS (SELECT id_l AS a, id_r AS b FROM prs UNION SELECT id_r, id_l FROM prs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges UNION SELECT DISTINCT a, a FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
 
     "d_embed_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${duckBucketExpr("embedding")} AS bucket

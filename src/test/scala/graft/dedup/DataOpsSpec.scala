@@ -87,6 +87,22 @@ class DataOpsSpec extends SparkSpec {
       ((graft.core.Mix.mix64(id * 131L + d) % 1000L) / 1000.0f)))
   }.toDF("vec_id", "embedding")
 
+  test("connected components: chains, stars, disjoint clusters, determinism") {
+    // chain 0..19 (diameter 19 — pointer jumping must converge inside
+    // maxIter), star at 100, pair at 200
+    val pairs = ((0L until 19L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L)))
+      .toDF("id_l", "id_r")
+    val got = Dedupe.components(pairs).as[(Long, Long)].collect().toMap
+    (0L to 19L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L, 103L).foreach(i => assert(got(i) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 26)
+    // partitioning invariance
+    val got2 = Dedupe.components(pairs.repartition(7)).as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
   test("cosine near-dup: identical vector pair found at threshold ~1") {
     val v = Array.tabulate(16)(_.toFloat / 16f)
     val df = Seq((1L, v), (2L, v), (3L, v.map(x => 1f - x))).toDF("vec_id", "embedding")
