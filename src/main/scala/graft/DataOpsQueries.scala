@@ -193,6 +193,23 @@ object DataOpsQueries {
       Dedupe.components(pairs).select(col("id").as("doc_id"), col("component"))
     }),
 
+    // ---- near-dup dedup: keep one survivor per cluster ----
+    "d_neardup_dedupe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"), maxDist = 3)
+      Dedupe.dedupeByPairs(docs, col("doc_id"), pairs).select(col("doc_id"))
+    }),
+
+    // ---- unicode normalization (pre-dedup canonicalization) ----
+    "t_text_normalize" -> ((s, dir) => {
+      // decomposed "e"+U+0301 must compose to U+00E9 under NFC
+      val decomposed = concat(col("text"), lit(" cafe\u0301"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.Vrl.normalizeUnicode(decomposed).as("nfc"),
+        (length(graft.functions.Vrl.normalizeUnicode(decomposed)) <
+          length(decomposed)).as("composed"))
+    }),
+
     // ---- embedding cosine near-dups within LSH sign buckets ----
     "d_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDups(Tables.embeddings(s, dir), col("vec_id"),
@@ -505,6 +522,38 @@ object DataOpsQueries {
          |  SELECT a, b FROM edges UNION SELECT DISTINCT a, a FROM edges
          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    // survivors = docs whose component label is themselves (or unpaired)
+    "d_neardup_dedupe" ->
+      s"""WITH RECURSIVE sims AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
+         |  FROM (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')),
+         |          t -> ${dH15("t")}) AS hs FROM documents)),
+         |bands AS (
+         |  SELECT doc_id, sim, b AS band, (sim >> (8*b)) & 255 AS band_hash
+         |  FROM sims, unnest([0,1,2,3]) AS t(b)),
+         |prs AS (SELECT id_l, id_r FROM (
+         |  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         |    CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |   AND l.doc_id < r.doc_id)
+         |  WHERE hamming <= 3),
+         |edges AS (SELECT id_l AS a, id_r AS b FROM prs UNION SELECT id_r, id_l FROM prs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges UNION SELECT DISTINCT a, a FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |losers AS (SELECT a FROM (SELECT a, min(b) AS m FROM reach GROUP BY a) WHERE a <> m)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a FROM losers)""".stripMargin,
+
+    "t_text_normalize" ->
+      """SELECT doc_id,
+        | nfc_normalize(text || ' cafe' || chr(769)) AS nfc,
+        | length(nfc_normalize(text || ' cafe' || chr(769)))
+        |   < length(text || ' cafe' || chr(769)) AS composed
+        |FROM documents""".stripMargin,
 
     "d_embed_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${duckBucketExpr("embedding")} AS bucket

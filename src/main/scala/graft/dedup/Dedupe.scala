@@ -220,6 +220,19 @@ object Dedupe {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** Near-dup deduplication: keep one representative per cluster. Given
+    * the corpus and a verified near-dup pair set, drops every document
+    * whose cluster has a smaller member (the [[components]] label) — the
+    * final step of candidates → verify → cluster → survivors. Anti join
+    * keyed on id; the cluster table is candidate-sized, not corpus-sized.
+    */
+  def dedupeByPairs(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val losers = components(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_loser"))
+    df.join(losers, id === col("_loser"), "left_anti")
+  }
+
   /** 32-bit SimHash over distinct word tokens: per bit, sign of the
     * sum of ±1 votes from each token hash. 32 codegen'd folds — narrow map.
     */

@@ -68,6 +68,14 @@ object Vrl {
   /** `parse_query_string`: "a=1&b=x" → map. */
   def parseQueryString(c: Column): Column = str_to_map(c, lit("&"), lit("="))
 
+  /** Unicode normalization (NFC default) — native [[NormalizeUnicode]]
+    * expression; pre-dedup text canonicalization.
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(NormalizeUnicode(Bridge.expression(c), form))
+  }
+
   // ---------------- string ----------------
 
   def upcase(c: Column): Column = upper(c)
