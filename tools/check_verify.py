@@ -17,8 +17,16 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# SKIP_QUERIES=a,b skips named queries — the recursive-closure oracles
+# (d_neardup_components / d_neardup_dedupe) are quadratic in component
+# size and take >1h in DuckDB at sf0.1 (seconds at the sf0.01 driver
+# gate); skip them for sf0.1 self-checks.
+skip = set(q for q in os.environ.get("SKIP_QUERIES", "").split(",") if q)
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIP     {name}")
+        continue
     try:
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
