@@ -99,6 +99,31 @@ object DataOpsQueries {
   private def duckIn(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  // ---------- greedy sequence-packing fold (twin of TokenOps.packSequences) ----------
+
+  private def duckPackSql(budget: Int, shards: Int): String = {
+    val shardExpr =
+      if (shards == 1) "CAST(0 AS INTEGER)"
+      else s"CAST(${dH15("doc_id")} % $shards AS INTEGER)"
+    s"""WITH raw AS (SELECT doc_id, source, n_tok, $shardExpr AS shard
+       |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen10k/*.parquet')),
+       |g AS (SELECT source, shard, list(struct_pack(d := doc_id, n := n_tok) ORDER BY doc_id) AS xs
+       |      FROM raw GROUP BY source, shard),
+       |f AS (SELECT source, shard,
+       |  list_reduce(
+       |    list_prepend([struct_pack(d := '', n := 0, cum := CAST(0 AS BIGINT), bin := CAST(0 AS BIGINT))],
+       |      list_transform(xs, x -> [struct_pack(d := x.d, n := x.n, cum := CAST(0 AS BIGINT), bin := CAST(0 AS BIGINT))])),
+       |    (acc, x) -> acc ||
+       |      [struct_pack(d := x[1].d, n := x[1].n,
+       |        cum := CASE WHEN acc[len(acc)].cum + x[1].n > $budget AND acc[len(acc)].cum > 0
+       |                    THEN CAST(x[1].n AS BIGINT) ELSE acc[len(acc)].cum + x[1].n END,
+       |        bin := CASE WHEN acc[len(acc)].cum + x[1].n > $budget AND acc[len(acc)].cum > 0
+       |                    THEN acc[len(acc)].bin + 1 ELSE acc[len(acc)].bin END)]) AS packed
+       |  FROM g)
+       |SELECT source, shard, u.d AS doc_id, u.n AS n_tok, u.bin AS bin
+       |FROM f, unnest(packed) AS t(u) WHERE u.d <> ''""".stripMargin
+  }
+
   // ======================= queries =======================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,6 +176,16 @@ object DataOpsQueries {
         Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF()
           .select(col("doc_id"), col("n_tok"), col("source")),
         budget = 8192).toDF()
+    }),
+
+    // ---- sharded packing: pack key (source, h15(doc_id) % 4) — the skew
+    //      fix that keeps a hot source from serializing through one task ----
+    "p_pack_sharded" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.tokens.TokenOps.packSequences(
+        Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF()
+          .select(col("doc_id"), col("n_tok"), col("source")),
+        budget = 8192, shards = 4).toDF()
     }),
 
     // ---- exact dedup (hash-groupBy, smallest-id representative) ----
@@ -246,17 +281,24 @@ object DataOpsQueries {
 
     // ---- full curation: quality + repetition + decontamination gates →
     //      lang-ID → exact dedup → per-(pred_lang, source) corpus stats.
-    //      The one-call "curate my corpus" composition of every gate. ----
+    //      The one-call "curate my corpus" composition of every gate.
+    //      Repetition + contamination signals come from ONE fused corpus
+    //      pass (Curation.gateSignals) — 2 unfiltered scans of `documents`
+    //      total instead of 4 (the r2 plan), plan-pinned in PlanSpec. ----
     "d_curation_full" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val keepRep = TextOps.repetitionStats(docs, col("text"), col("doc_id"))
-        .filter(col("top_bigram_frac") <= 0.2).select("doc_id")
-      val keepCont = Dedupe.contamination(docs, col("text"), col("doc_id"),
+      val gates = graft.text.Curation.gateSignals(docs, col("text"), col("doc_id"),
         bench = docs.filter(col("doc_id") < 5), benchText = col("text"), n = ShingleN)
-        .filter(!col("contaminated")).select("doc_id")
       val curated = docs.filter(TextOps.qualityKeep(col("text")))
-        .join(keepRep, Seq("doc_id"), "left_semi")
-        .join(keepCont, Seq("doc_id"), "left_semi")
+        .join(gates, Seq("doc_id"), "left")
+        // same rounded gate formula as repetitionStats / the oracle; the
+        // quality gate guarantees n_words >= 10, so the frac denominator is
+        // live and the left join only misses gram-free docs (keep: 0, 0)
+        .filter(
+          coalesce(col("n_overlap"), lit(0L)) === 0 &&
+          round(lit(2.0) * coalesce(col("top_bigram_n"), lit(0L)) /
+            TextOps.wordCount(col("text")).cast("double"), 6) <= 0.2)
+        .drop("top_bigram_n", "n_overlap")
         .withColumn("pred_lang", TextOps.langId(col("text")))
       Dedupe.exact(curated, col("text"), col("doc_id"))
         .groupBy(col("pred_lang"), col("source"))
@@ -277,9 +319,15 @@ object DataOpsQueries {
     // ---- multimodal: synthesized binary media → per-kind stats ----
     // (generator is deterministic; Verify materializes the same rows to
     //  parquet, so the DuckDB oracle reads the identical input)
+    // rounding + the +1e-9 decimal-lattice nudge on the averages is applied
+    // HERE, at the oracle-comparison surface — the library emits raw doubles
     "m_media_stats" -> ((s, _) => {
       graft.multimodal.Multimodal.mediaStats(
         graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8))
+        .select(col("kind"), col("n"), col("total_bytes"),
+          round(col("avg_w") + lit(1e-9), 4).as("avg_w"),
+          round(col("avg_h") + lit(1e-9), 4).as("avg_h"),
+          col("total_frames"))
     }),
 
     // ---- multimodal: decode → feature-extract → ANN over media features ----
@@ -362,28 +410,12 @@ object DataOpsQueries {
          |       coalesce(h.n, 0) > 0 AS contaminated
          |FROM tk t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
 
-    // greedy packing fold: per source, doc_id order; a bin closes when the
-    // next sequence would overflow the budget (oversized seqs pack alone)
-    "p_pack_sequences" -> {
-      val budget = 8192
-      s"""WITH raw AS (SELECT doc_id, source, n_tok
-         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen10k/*.parquet')),
-         |g AS (SELECT source, list(struct_pack(d := doc_id, n := n_tok) ORDER BY doc_id) AS xs
-         |      FROM raw GROUP BY source),
-         |f AS (SELECT source,
-         |  list_reduce(
-         |    list_prepend([struct_pack(d := '', n := 0, cum := CAST(0 AS BIGINT), bin := CAST(0 AS BIGINT))],
-         |      list_transform(xs, x -> [struct_pack(d := x.d, n := x.n, cum := CAST(0 AS BIGINT), bin := CAST(0 AS BIGINT))])),
-         |    (acc, x) -> acc ||
-         |      [struct_pack(d := x[1].d, n := x[1].n,
-         |        cum := CASE WHEN acc[len(acc)].cum + x[1].n > $budget AND acc[len(acc)].cum > 0
-         |                    THEN CAST(x[1].n AS BIGINT) ELSE acc[len(acc)].cum + x[1].n END,
-         |        bin := CASE WHEN acc[len(acc)].cum + x[1].n > $budget AND acc[len(acc)].cum > 0
-         |                    THEN acc[len(acc)].bin + 1 ELSE acc[len(acc)].bin END)]) AS packed
-         |  FROM g)
-         |SELECT source, u.d AS doc_id, u.n AS n_tok, u.bin AS bin
-         |FROM f, unnest(packed) AS t(u) WHERE u.d <> ''""".stripMargin
-    },
+    // greedy packing fold: per (source, shard), doc_id order; a bin closes
+    // when the next sequence would overflow the budget (oversized seqs pack
+    // alone). shard = h15(doc_id) % shards — the same cross-engine hash the
+    // Spark side uses, so bin assignment matches bit-for-bit.
+    "p_pack_sequences" -> duckPackSql(budget = 8192, shards = 1),
+    "p_pack_sharded" -> duckPackSql(budget = 8192, shards = 4),
 
     "d_curation_pipeline" -> {
       val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>

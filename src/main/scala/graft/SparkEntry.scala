@@ -131,9 +131,18 @@ object SparkEntry {
     }),
 
     // ---- aggregate: tumbling-window metric agg (aggregate.rs:26-84) ----
+    // Rounding (and the +1e-9 decimal-lattice nudge on avg: inputs have 2
+    // decimals, so averages land EXACTLY on x.xx5 half-way points where
+    // Spark HALF_UP and DuckDB binary rounding disagree) happens HERE at
+    // the oracle-comparison surface — the library emits raw doubles.
     "q_aggregate" -> ((s, dir) => {
       Transforms.aggregateTumbling(Tables.events(s, dir), col("ts"), "hour",
         Seq(col("event_type")), col("value"))
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          round(col("avg_v") + lit(1e-9), 4).as("avg_v"),
+          col("min_v"), col("max_v"),
+          round(col("stddev_v"), 2).as("stddev_v"))
     }),
 
     // ---- window: context ring-buffer (window/transform.rs:50-94) ----

@@ -122,8 +122,29 @@ object Toml {
     out.result()
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+  /** Single left-to-right pass: each backslash consumes exactly its next
+    * char, so "C:\\network" yields C:\network (chained String.replace
+    * mangled it — the \n replacement ate the second backslash).
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n'  => sb += '\n'
+          case 't'  => sb += '\t'
+          case 'r'  => sb += '\r'
+          case '"'  => sb += '"'
+          case '\\' => sb += '\\'
+          case o    => sb += '\\'; sb += o
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   private val Var = """\$\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}""".r
 

@@ -28,10 +28,13 @@ import graft.text.{Hashing, TextOps}
   */
 object Dedupe {
 
-  /** Exact dedup: canonical content hash, keep the smallest id per hash
-    * (deterministic representative). One hash-aggregate shuffle on the
-    * 60-bit content hash; survivors re-joined by (hash, id) — both sides
-    * partial-aggregated map-side.
+  /** Exact dedup: canonical content hash, keep the smallest-id row per
+    * hash (deterministic representative). ONE hash aggregate — `min_by`
+    * carries the whole surviving row, so the upstream subtree is scanned
+    * once and the aggregate partial-combines map-side (each map task keeps
+    * one candidate row per distinct hash). The earlier agg + left-semi-join
+    * formulation consumed the input twice — on an expensive upstream
+    * (a curation gate chain) that doubles every scan below it.
     */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
     // Dedup key is the FULL 128-bit md5: at 10^12 rows, 60-bit collisions
@@ -42,8 +45,10 @@ object Dedupe {
     val hashed = df.withColumn("_md5", md5(text.cast("string")))
       .withColumn("text_hash", conv(substring(col("_md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("_id", id)
-    val reps = hashed.groupBy(col("_md5")).agg(min(col("_id")).as("_id"))
-    hashed.join(reps, Seq("_md5", "_id"), "left_semi").drop("_id", "_md5")
+    val keep = hashed.columns.filter(c => c != "_md5" && c != "_id")
+    hashed.groupBy(col("_md5"))
+      .agg(min_by(struct(keep.map(col): _*), col("_id")).as("_row"))
+      .select(keep.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
   /** Distinct word n-gram shingles of a text column (narrow map).
@@ -116,12 +121,20 @@ object Dedupe {
   /** LSH candidate pairs: ids sharing at least one band bucket. The
     * self-join shuffles only on `(band, band_hash)`; `maxBucket` caps
     * degenerate buckets (see scale notes above).
+    *
+    * The cap is an aggregated hot-bucket table (distinct over-limit
+    * buckets — tiny, map-side combined) BROADCAST anti-joined back, not a
+    * `count().over(partitionBy(band, band_hash))` window: the window form
+    * costs one extra full shuffle of the band table just to measure bucket
+    * sizes, the broadcast form costs a partial-aggregate read and a narrow
+    * anti-join.
     */
   def minhashCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val counted = bandsDf
-      .withColumn("_bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val hot = bandsDf.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val counted = bandsDf.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
     val l = counted.select(col("band"), col("band_hash"), col("id").as("id_l"))
     val r = counted.select(col("band"), col("band_hash"), col("id").as("id_r"))
     l.join(r, Seq("band", "band_hash")).filter(col("id_l") < col("id_r"))
@@ -179,19 +192,37 @@ object Dedupe {
     * O(log diameter) supersteps, each a pair of hash joins keyed by id.
     * No driver-side graph; the per-superstep convergence check is a single
     * aggregate (the KMeans-style sanctioned driver round trip). Each
-    * superstep's result is EAGERLY `localCheckpoint`ed — persist alone
-    * leaves the logical plan growing, and Catalyst re-optimization cost
-    * explodes exponentially across iterations (measured: 2s → 90s by
-    * superstep 4 without truncation); on a cluster swap for reliable
-    * `checkpoint`. Ids must be numeric (labels compare with `<` and sum
-    * for the fixpoint check).
+    * superstep's result is EAGERLY checkpointed — persist alone leaves the
+    * logical plan growing, and Catalyst re-optimization cost explodes
+    * exponentially across iterations (measured: 2s → 90s by superstep 4
+    * without truncation). Ids must be numeric (labels compare with `<` and
+    * sum for the fixpoint check).
+    *
+    * Checkpoint mode: with `checkpointDir` set, supersteps use RELIABLE
+    * `checkpoint()` into that directory — executor loss mid-iteration
+    * recomputes from the checkpoint, the mode a real multi-node cluster
+    * needs. Unset (single-JVM tests/benches) they use `localCheckpoint`,
+    * which truncates lineage without the write-to-storage cost but stores
+    * blocks executor-local.
+    *
+    * Throws `IllegalStateException` if the fixpoint is not reached within
+    * `maxIter` supersteps — returning non-converged labels would silently
+    * under-merge clusters downstream (dedupeByPairs would keep extra
+    * duplicates with no signal).
     */
-  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_l").as("a"), col("id_r").as("b"))
-      .unionByName(pairs.select(col("id_r").as("a"), col("id_l").as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+  def components(pairs: DataFrame, maxIter: Int = 25,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val edges = ckpt(pairs.select(col("id_l").as("a"), col("id_r").as("b"))
+      .unionByName(pairs.select(col("id_r").as("a"), col("id_l").as("b"))))
+    var labels = ckpt(edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     // labels only ever DECREASE, so an unchanged label sum ⇔ a fixpoint —
     // one overflow-safe decimal aggregate per superstep, no compare join
     def lblSum(df: DataFrame): java.math.BigDecimal =
@@ -206,17 +237,21 @@ object Dedupe {
       val afterNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: lbl := lbl(lbl) — halves chains each superstep
-      val jumped = afterNbr.alias("x")
+      val jumped = ckpt(afterNbr.alias("x")
         .join(afterNbr.select(col("id").as("lbl"), col("lbl").as("lbl2")).alias("y"),
           Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // truncates lineage, materializes once
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       val newSum = lblSum(jumped)
       labels = jumped
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components did not converge within $maxIter supersteps " +
+          "(labels still changing); raise maxIter — returning partial labels " +
+          "would silently under-merge dedup clusters")
     labels.select(col("id"), col("lbl").as("component"))
   }
 
@@ -226,8 +261,9 @@ object Dedupe {
     * final step of candidates → verify → cluster → survivors. Anti join
     * keyed on id; the cluster table is candidate-sized, not corpus-sized.
     */
-  def dedupeByPairs(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
-    val losers = components(pairs)
+  def dedupeByPairs(df: DataFrame, id: Column, pairs: DataFrame,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val losers = components(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_loser"))
     df.join(losers, id === col("_loser"), "left_anti")

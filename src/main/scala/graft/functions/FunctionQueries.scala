@@ -365,8 +365,43 @@ object FunctionQueries {
       ev(s, dir).select(col("event_id"), host.as("host"),
         V.parseEtld(host).as("etld"),
         V.parseEtldPlusOne(host).as("etld1"))
+    }),
+
+    // ---- encrypt / decrypt (aes builtins) + sha3 (native expression) ----
+    // AES proves itself by roundtrip (DuckDB has no AES); sha3 by
+    // known-answer: the oracle's expected hex digests are generated at
+    // query-build time from the same JVM MessageDigest the expression calls.
+    "f_crypto" -> ((s, dir) => {
+      val msg = concat(lit("msg-"), col("event_id"))
+      val enc = V.encryptAes(msg, CryptoKey)
+      val word = element_at(array(Sha3Words.map(lit): _*),
+        (pmod(col("event_id"), lit(Sha3Words.length)) + 1).cast("int"))
+      ev(s, dir).select(col("event_id"),
+        V.decryptAes(enc, CryptoKey).as("roundtrip"),
+        (V.decryptAes(enc, CryptoKey) === msg).as("aes_ok"),
+        V.sha3Hex(word, 256).as("sha3_256"),
+        V.sha3Hex(word, 512).as("sha3_512"))
+    }),
+
+    // ---- encode_punycode / decode_punycode (native IDN expression) ----
+    "f_punycode" -> ((s, dir) => {
+      val dom = element_at(array(PunyDomains.map(lit): _*),
+        (pmod(col("event_id"), lit(PunyDomains.length)) + 1).cast("int"))
+      ev(s, dir).select(col("event_id"),
+        V.encodePunycode(dom).as("ascii"),
+        V.decodePunycode(V.encodePunycode(dom)).as("unicode_back"))
     })
   )
+
+  /** 16-byte AES-128 key for the f_crypto roundtrip. */
+  private val CryptoKey = "0123456789abcdef"
+
+  /** Known-answer inputs; oracle digests come from [[graft.functions.Sha3.hex]]. */
+  private val Sha3Words = Seq("alpha", "bravo", "charlie", "delta")
+
+  /** IDN test domains (mixed ASCII and internationalized). */
+  private val PunyDomains =
+    Seq("example.com", "bücher.example", "münchen.de", "café.fr")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -457,6 +492,29 @@ object FunctionQueries {
          |FROM events""".stripMargin
     },
 
+
+    "f_crypto" -> {
+      def pick(vals: Seq[String]): String =
+        s"(CASE (event_id % ${vals.length}) " + vals.zipWithIndex.map {
+          case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ") + " END)"
+      s"""SELECT event_id,
+         | ('msg-' || event_id) AS roundtrip,
+         | true AS aes_ok,
+         | ${pick(Sha3Words.map(w => Sha3.hex(w, 256)))} AS sha3_256,
+         | ${pick(Sha3Words.map(w => Sha3.hex(w, 512)))} AS sha3_512
+         |FROM events""".stripMargin
+    },
+
+    "f_punycode" -> {
+      def pick(vals: Seq[String]): String =
+        s"(CASE (event_id % ${vals.length}) " + vals.zipWithIndex.map {
+          case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ") + " END)"
+      val ascii = PunyDomains.map(Punycode.ascii)
+      s"""SELECT event_id,
+         | ${pick(ascii)} AS ascii,
+         | ${pick(ascii.map(Punycode.unicode))} AS unicode_back
+         |FROM events""".stripMargin
+    },
 
     "f_parse_kv" ->
       s"""SELECT event_id, $duckLogfmtLine AS line,

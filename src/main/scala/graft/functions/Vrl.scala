@@ -12,10 +12,9 @@ import org.apache.spark.sql.functions._
   * expression ([[ShannonEntropy]]); most have a DuckDB twin in
   * FunctionQueries.oracleSql (crc32/hmac/sha512 have no DuckDB analog and
   * are verified against the JVM reference implementations in HashSpec).
-  * Deliberately NOT ported: encrypt/decrypt (symmetric crypto on columns),
-  * protobuf/cbor codecs, MaxMind lookups (no data; the CIDR table shape is
-  * `Enrich.cidrLookup`), punycode, random_* (nondeterministic by design —
-  * Spark `rand` with a seed is the analog).
+  * Deliberately NOT ported: protobuf/cbor codecs, MaxMind lookups (no
+  * data; the CIDR table shape is `Enrich.cidrLookup`), random_*
+  * (nondeterministic by design — Spark `rand` with a seed is the analog).
   */
 object Vrl {
 
@@ -114,6 +113,40 @@ object Vrl {
 
   /** VRL `crc32` (checksum family) — Spark's codegen'd builtin. */
   def crc32Of(c: Column): Column = crc32(c.cast("binary"))
+
+  /** VRL `sha3` (variants SHA3-224/256/384/512; reference default 512) —
+    * native codegen'd [[Sha3]] over JDK 17 MessageDigest, lowercase hex.
+    */
+  def sha3Hex(c: Column, bits: Int = 512): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Sha3(Bridge.expression(c), bits))
+  }
+
+  /** VRL `encrypt`/`decrypt` (symmetric AES on columns) — Spark's codegen'd
+    * `aes_encrypt`/`aes_decrypt` builtins. Mode "ECB" is fully
+    * deterministic (no IV); "CBC"/"GCM" take an explicit IV for
+    * reproducible output (Spark randomizes the IV when absent — fine for
+    * production, fatal for replayable pipelines/tests). Key must be
+    * 16/24/32 bytes (AES-128/192/256).
+    */
+  def encryptAes(c: Column, key: String, mode: String = "ECB",
+                 iv: Column = lit(Array.empty[Byte])): Column =
+    aes_encrypt(c.cast("binary"), lit(key.getBytes("UTF-8")), lit(mode),
+      lit("DEFAULT"), iv)
+  def decryptAes(c: Column, key: String, mode: String = "ECB"): Column =
+    aes_decrypt(c, lit(key.getBytes("UTF-8")), lit(mode), lit("DEFAULT")).cast("string")
+
+  /** VRL `encode_punycode` / `decode_punycode` — native codegen'd
+    * [[Punycode]] over `java.net.IDN` (RFC 3490 IDNA).
+    */
+  def encodePunycode(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Punycode(Bridge.expression(c), encode = true))
+  }
+  def decodePunycode(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Punycode(Bridge.expression(c), encode = false))
+  }
 
   /** VRL `hmac` with SHA-256, composed from the definition
     * `H((K^opad) || H((K^ipad) || m))` over Spark's codegen'd `sha2` —

@@ -188,9 +188,9 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("payload_bytes")).as("total_bytes"),
-        // +1e-9 before rounding: shifts decimal half-way points off the
-        // lattice so Spark (HALF_UP) and SQL oracles (binary round) agree
-        round(avg(col("width")) + lit(1e-9), 4).as("avg_w"),
-        round(avg(col("height")) + lit(1e-9), 4).as("avg_h"),
+        // raw full-precision averages — cross-engine rounding alignment is
+        // the oracle-comparison layer's job (the DataOpsQueries wrapper)
+        avg(col("width")).as("avg_w"),
+        avg(col("height")).as("avg_h"),
         sum(col("n_frames")).as("total_frames"))
 }

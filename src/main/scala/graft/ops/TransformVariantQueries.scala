@@ -114,6 +114,23 @@ object TransformVariantQueries {
           round(expr("percentile(value, 0.99)") + lit(1e-9), 2).as("p99"))
     }),
 
+    // ---- aggregate Diff mode: delta of Absolute series (aggregate.rs:48-77) ----
+    "v_aggregate_diff" -> ((s, dir) => {
+      Transforms.aggregateDiff(ev(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("diff_value"), 2).as("diff_value"))
+    }),
+
+    // ---- aggregate Auto mode: kind-aware Sum/Latest dispatch ----
+    "v_aggregate_auto" -> ((s, dir) => {
+      val kind = when(pmod(col("user_id"), lit(2)) === 0, "incremental")
+        .otherwise("absolute")
+      Transforms.aggregateAuto(ev(s, dir), col("ts"), "hour",
+        Seq(col("event_type")), kind, col("event_id"), col("value"))
+        .withColumn("agg_value", round(col("agg_value"), 2))
+    }),
+
     // ---- remap fan-out: one event → N events (remap.rs:604-611) ----
     "v_remap_fanout" -> ((s, dir) => {
       val parts = split(concat(col("event_type"), lit(",x"),
@@ -300,6 +317,23 @@ object TransformVariantQueries {
         | round(quantile_cont(value, 0.5) + 1e-9, 2) AS p50,
         | round(quantile_cont(value, 0.99) + 1e-9, 2) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "v_aggregate_diff" ->
+      """SELECT event_id, user_id, round(value - prev, 2) AS diff_value
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NOT NULL""".stripMargin,
+
+    "v_aggregate_auto" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, kind,
+        | count(*) AS n,
+        | round(CASE WHEN kind = 'incremental' THEN sum(value)
+        |       ELSE (list(value ORDER BY ts DESC, event_id DESC))[1] END, 2) AS agg_value
+        |FROM (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'incremental'
+        |                     ELSE 'absolute' END AS kind FROM events)
+        |GROUP BY window_start, event_type, kind""".stripMargin,
 
     "v_remap_fanout" ->
       """SELECT event_id, unnest(string_split(event_type || ',x' || (event_id % 3), ',')) AS part

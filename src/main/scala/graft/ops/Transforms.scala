@@ -67,22 +67,51 @@ object Transforms {
     * metric aggregation over tumbling `interval_ms` windows with modes
     * Sum/Latest/Count/Max/Min/Mean/Stdev). Batch analog: tumbling
     * event-time windows via `date_trunc` + hash aggregation (partial
-    * map-side combine → one shuffle).
+    * map-side combine → one shuffle). Aggregates are emitted RAW (full
+    * double precision) — cross-engine rounding accommodations belong in the
+    * oracle-comparison layer (SparkEntry query wrappers), not here.
     */
   def aggregateTumbling(df: DataFrame, ts: Column, bucket: String,
                         series: Seq[Column], value: Column): DataFrame =
     df.groupBy((date_trunc(bucket, ts).as("window_start") +: series): _*)
       .agg(
         count(lit(1)).as("n"),
-        round(sum(value), 2).as("sum_v"),
-        // +1e-9 before rounding: avg of 2-decimal inputs lands EXACTLY on
-        // x.xx5 half-way points, where Spark (decimal-repr HALF_UP) and
-        // other engines (binary round) disagree; the epsilon shifts the
-        // boundary off that lattice without affecting any non-boundary value
-        round(avg(value) + lit(1e-9), 4).as("avg_v"),
+        sum(value).as("sum_v"),
+        avg(value).as("avg_v"),
         min(value).as("min_v"),
         max(value).as("max_v"),
-        round(stddev_samp(value), 2).as("stddev_v"))
+        stddev_samp(value).as("stddev_v"))
+
+  /** `aggregate` Diff mode (reference: src/transforms/aggregate.rs:48-77 —
+    * for Absolute-kind metric series, emit the delta against the previous
+    * absolute value of the same series; the first observation has nothing
+    * to diff against and produces no output). The inverse of
+    * [[incrementalToAbsolute]]. Lag window per series — one shuffle on the
+    * series key; emitted raw (rounding is the oracle layer's job).
+    */
+  def aggregateDiff(df: DataFrame, series: Column, order: Seq[Column],
+                    value: Column): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(order: _*)
+    df.withColumn("diff_value", value - lag(value, 1).over(w))
+      .filter(col("diff_value").isNotNull)
+  }
+
+  /** `aggregate` Auto mode (reference: src/transforms/aggregate.rs:48-77 —
+    * kind-aware dispatch over the metric-kind lattice: Incremental series
+    * aggregate by SUM within the window, Absolute series by LATEST
+    * arrival). One hash aggregate computing both arms; the kind column
+    * picks per group. `tie` breaks equal timestamps deterministically.
+    */
+  def aggregateAuto(df: DataFrame, ts: Column, bucket: String, series: Seq[Column],
+                    kind: Column, tie: Column, value: Column): DataFrame =
+    df.groupBy((date_trunc(bucket, ts).as("window_start") +: series :+ kind.as("kind")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(value).as("_sum"),
+        max_by(value, struct(ts, tie)).as("_latest"))
+      .withColumn("agg_value",
+        when(col("kind") === "incremental", col("_sum")).otherwise(col("_latest")))
+      .drop("_sum", "_latest")
 
   /** `reduce` transform (reference: src/transforms/reduce/config.rs:33-106 —
     * group events by fields and merge with per-field strategies). The

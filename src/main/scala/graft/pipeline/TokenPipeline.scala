@@ -186,10 +186,12 @@ object TokenPipeline {
     val droppedTable = new SnapshotTable(s"${cfg.sinksRoot}/dropped")
     droppedTable.append(dropped, s"${cfg.jobId}-dropped", partitionBy = Seq("drop_reason"))
 
-    // counters from committed data only (exactly-once accounting)
-    val counters = table.read(spark).get
-      .groupBy(col("sink"), col("source"))
-      .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+    // counters from committed data only (exactly-once accounting); an
+    // empty input commits no parquet → read is None → empty counters
+    val counters = table.read(spark)
+      .map(_.groupBy(col("sink"), col("source"))
+        .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok")))
+      .getOrElse(spark.emptyDataFrame)
     val droppedCounts = droppedTable.read(spark)
       .map(_.groupBy(col("drop_reason")).agg(count(lit(1)).as("n")))
       .getOrElse(spark.emptyDataFrame)
@@ -197,13 +199,16 @@ object TokenPipeline {
     MultiResult(table, droppedTable, counters, droppedCounts, lineage, metrics)
   }
 
-  /** Full committed run: writes every sink as a snapshot-committed,
-    * source-partitioned, salt-repartitioned Parquet table; counters are
-    * derived from committed data only (exactly-once accounting,
-    * SURVEY.md §7 risk 3). Restart-safe: per-sink jobIds make re-runs
-    * skip already-committed sinks.
+  /** LEGACY per-sink committed run — retained ONLY as the reference
+    * implementation for PipelineSpec's runMulti-equivalence and restart
+    * tests (hence `private[pipeline]`: no production caller can reach it).
+    * It persists the full flagged dataset (MEMORY_AND_DISK) and runs one
+    * filtered write per sink — at 100 TB that spills the whole input;
+    * [[runMulti]] is the committed path (one exploded write, no persist).
+    * Restart-safe: per-sink jobIds make re-runs skip committed sinks.
     */
-  def run(spark: SparkSession, input: DataFrame, attrs: DataFrame, cfg: Config): Result = {
+  private[pipeline] def runPerSinkLegacy(
+      spark: SparkSession, input: DataFrame, attrs: DataFrame, cfg: Config): Result = {
     val (flagged0, dropped) = dataflow(input, attrs, cfg.longMin)
 
     // Stage row-count metrics via observe() — zero-shuffle CollectMetrics,

@@ -103,6 +103,52 @@ class DataOpsSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("connected components: reliable checkpoint mode yields same labels") {
+    val pairs = ((0L until 19L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L)))
+      .toDF("id_l", "id_r")
+    val local = Dedupe.components(pairs).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val reliable = Dedupe.components(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // reliable mode actually wrote checkpoint data to the chosen dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint must materialize to the dir")
+  }
+
+  test("connected components: non-convergence raises instead of silent wrong labels") {
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    intercept[IllegalStateException] {
+      Dedupe.components(pairs, maxIter = 2).collect()
+    }
+  }
+
+  test("fused curation gates equal the separate repetition + contamination ops") {
+    val d = Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated), (4L, base),
+      (5L, "spam spam spam spam spam spam spam spam"),
+      (6L, "tiny"), (7L, "")
+    ).toDF("doc_id", "text")
+    val bench = d.filter(col("doc_id") === 3)
+    val fused = graft.text.Curation.gateSignals(d, col("text"), col("doc_id"),
+      bench, col("text"), n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rep = TextOps.repetitionStats(d, col("text"), col("doc_id"))
+      .select("doc_id", "top_bigram_n").as[(Long, Long)].collect().toMap
+    val cont = Dedupe.contamination(d, col("text"), col("doc_id"),
+      bench, col("text"), n = 3)
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    d.select("doc_id").as[Long].collect().foreach { id =>
+      val (top, ov) = fused.getOrElse(id, (0L, 0L))
+      assert(top == rep(id), s"doc $id top_bigram_n: fused $top vs ${rep(id)}")
+      assert(ov == cont(id), s"doc $id n_overlap: fused $ov vs ${cont(id)}")
+    }
+    // the benchmark doc is fully self-contaminated; unrelated docs are clean
+    assert(fused(3L)._2 > 0 && fused(1L)._2 == 0)
+  }
+
   test("cosine near-dup: identical vector pair found at threshold ~1") {
     val v = Array.tabulate(16)(_.toFloat / 16f)
     val df = Seq((1L, v), (2L, v), (3L, v.map(x => 1f - x))).toDF("vec_id", "embedding")

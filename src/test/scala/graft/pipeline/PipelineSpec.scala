@@ -33,7 +33,7 @@ class PipelineSpec extends SparkSpec {
 
   test("committed run: per-sink counters + dropped lanes match oracle") {
     val root = tmpRoot()
-    val res = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+    val res = TokenPipeline.runPerSinkLegacy(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-a"))
     assert(sparkCounters(res.counters.select("sink", "source", "row_count", "sum_n_tok"))
       == oracle.counters)
@@ -55,7 +55,7 @@ class PipelineSpec extends SparkSpec {
 
   test("routed rows: token-array equality per sink (north-star invariant)") {
     val root = tmpRoot()
-    val res = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+    val res = TokenPipeline.runPerSinkLegacy(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-b"))
     for (sink <- Seq("sink_hot", "sink_long", "sink_pii", "_unmatched")) {
       val got = res.sinks(sink).read(spark).get
@@ -77,13 +77,13 @@ class PipelineSpec extends SparkSpec {
     hotOnly.append(graft.route.Route.sinkView(flagged, "sink_hot"),
       "job-c-sink_hot", partitionBy = Seq("source"))
     // full re-run with the same jobId resumes: sink_hot skipped, others written
-    val res = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+    val res = TokenPipeline.runPerSinkLegacy(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-c"))
     assert(res.sinks("sink_hot").currentVersion == 1) // not re-committed
     assert(sparkCounters(res.counters.select("sink", "source", "row_count", "sum_n_tok"))
       == oracle.counters)
     // and a full second re-run is a complete no-op
-    val res2 = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+    val res2 = TokenPipeline.runPerSinkLegacy(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(root, "job-c"))
     assert(sparkCounters(res2.counters.select("sink", "source", "row_count", "sum_n_tok"))
       == oracle.counters)
@@ -118,9 +118,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("salt invariance: salting changes layout only, never counts") {
-    val a = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+    val a = TokenPipeline.runPerSinkLegacy(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(tmpRoot(), "job-s1", saltBuckets = 1))
-    val b = TokenPipeline.run(spark, Gen.tokenseq(spark, cfg).toDF(),
+    val b = TokenPipeline.runPerSinkLegacy(spark, Gen.tokenseq(spark, cfg).toDF(),
       Gen.sourceAttrs(spark), TokenPipeline.Config(tmpRoot(), "job-s2", saltBuckets = 16))
     assert(sparkCounters(a.counters.select("sink", "source", "row_count", "sum_n_tok"))
       == sparkCounters(b.counters.select("sink", "source", "row_count", "sum_n_tok")))

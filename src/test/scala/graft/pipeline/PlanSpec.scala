@@ -93,6 +93,22 @@ class PlanSpec extends SparkSpec {
     assert(sortLine.contains("false"), s"sort must be partition-local: $sortLine")
   }
 
+  test("fused curation makes at most 2 unfiltered scans of documents") {
+    import spark.implicits._
+    val ddir = Files.createTempDirectory("planspec-docs").toString
+    (0L until 64L).map(i => (i, s"some repeated words number $i in a plain document body here",
+      "en", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$ddir/documents.parquet")
+    val p = plan(graft.DataOpsQueries.queries("d_curation_full")(spark, ddir))
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    // the benchmark subtree's scan pushes doc_id < 5 down and reads a
+    // handful of rows; full corpus passes are the ones that matter at 100 TB
+    val full = scans.filterNot(_.contains("LessThan(doc_id,5)"))
+    assert(scans.size <= 3, s"${scans.size} document scans:\n${scans.mkString("\n")}")
+    assert(full.size <= 2, s"${full.size} UNFILTERED document scans:\n${full.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the parse+enrich+remap pipeline") {
     val (flagged, _) = TokenPipeline.dataflow(
       spark.read.parquet(dir), Gen.sourceAttrs(spark), 1024)
