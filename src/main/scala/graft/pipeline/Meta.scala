@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-metadata surface: a `_meta` struct column riding beside the data
+  * columns — the batch analog of the reference's `EventMetadata`
+  * (lib/vector-core/src/event/metadata.rs:27-57) and the VRL secrets
+  * functions `get_secret`/`set_secret`/`remove_secret`
+  * (lib/vector-vrl/functions/src/).
+  *
+  * Shape: `_meta = struct(source_id, lineage array<string>, secrets
+  * map<string,string>)`. Pure column programs — narrow, codegen'd, and
+  * transparent to every transform (they neither read nor shuffle on it).
+  * The committed sink path ([[TokenPipeline.runMulti]]) REDACTS secrets
+  * before writing, so credential material attached at the source (API
+  * keys for a downstream sink, datadog_api_key in the reference) can flow
+  * through the topology but never lands in sink storage.
+  */
+object Meta {
+
+  val Col = "_meta"
+
+  /** Attach a fresh `_meta` at the source boundary. */
+  def attach(df: DataFrame, sourceId: String,
+             secrets: Map[String, String] = Map.empty): DataFrame = {
+    val secretsCol =
+      if (secrets.isEmpty) map().cast("map<string,string>")
+      else map(secrets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.withColumn(Col, struct(
+      lit(sourceId).as("source_id"),
+      array(lit(sourceId)).as("lineage"),
+      secretsCol.as("secrets")))
+  }
+
+  /** Append a stage name to the lineage trail (the component-path metadata
+    * of the reference's event lifecycle).
+    */
+  def stamp(df: DataFrame, stage: String): DataFrame =
+    df.withColumn(Col, struct(
+      col(s"$Col.source_id").as("source_id"),
+      concat(col(s"$Col.lineage"), array(lit(stage))).as("lineage"),
+      col(s"$Col.secrets").as("secrets")))
+
+  /** VRL `get_secret`: null when absent. */
+  def getSecret(name: String): Column = element_at(col(s"$Col.secrets"), name)
+
+  /** VRL `set_secret`. */
+  def setSecret(df: DataFrame, name: String, value: Column): DataFrame =
+    df.withColumn(Col, struct(
+      col(s"$Col.source_id").as("source_id"),
+      col(s"$Col.lineage").as("lineage"),
+      map_concat(
+        map_filter(col(s"$Col.secrets"), (k, _) => k =!= name),
+        map(lit(name), value)).as("secrets")))
+
+  /** VRL `remove_secret`. */
+  def removeSecret(df: DataFrame, name: String): DataFrame =
+    df.withColumn(Col, struct(
+      col(s"$Col.source_id").as("source_id"),
+      col(s"$Col.lineage").as("lineage"),
+      map_filter(col(s"$Col.secrets"), (k, _) => k =!= name).as("secrets")))
+
+  /** Clear ALL secrets, keep provenance — what a sink must do before
+    * committing rows to storage.
+    */
+  def redact(df: DataFrame): DataFrame =
+    df.withColumn(Col, struct(
+      col(s"$Col.source_id").as("source_id"),
+      col(s"$Col.lineage").as("lineage"),
+      map().cast("map<string,string>").as("secrets")))
+}

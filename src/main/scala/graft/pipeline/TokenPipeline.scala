@@ -174,12 +174,16 @@ object TokenPipeline {
 
     val names = routes(cfg.longMin).map(_._1) :+ Route.Unmatched
     val arms = names.map(n => when(col(s"_route_$n"), lit(n)).otherwise(lit(null: String)))
-    val routed = flagged
+    val routed0 = flagged
       .withColumn("sink", explode(array_compact(array(arms: _*))))
       .drop(flagged0.columns.filter(_.startsWith("_route_")): _*)
       .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)))
       .repartition(col("sink"), col("source"), col("_salt"))
       .drop("_salt")
+    // secrets never reach committed storage: redact the _meta secrets map
+    // at the sink boundary (provenance fields survive)
+    val routed =
+      if (routed0.columns.contains(Meta.Col)) Meta.redact(routed0) else routed0
 
     val table = new SnapshotTable(s"${cfg.sinksRoot}/multi")
     table.append(routed, s"${cfg.jobId}-multi", partitionBy = Seq("sink", "source"))

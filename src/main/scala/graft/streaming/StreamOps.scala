@@ -73,27 +73,49 @@ object StreamOps {
     * quota + periodic key flush of the reference). Emission order within
     * a micro-batch follows arrival order per group — the same
     * arrival-order semantic the reference has.
+    *
+    * State bound: with `watermarkDelay` set, keys idle for a full window
+    * past the watermark are EVICTED via event-time timeout — state is
+    * O(active keys), the reference's periodic key flush, and the mode any
+    * long-running deployment must use (unbounded key spaces would
+    * otherwise grow state forever). `None` keeps `NoTimeout` for ad-hoc
+    * runs without an event-time column contract (Spark's processing-time
+    * timeout re-triggers endlessly under a drained test harness).
     */
-  def throttleStream(ds: Dataset[Keyed], threshold: Int, windowMs: Long): Dataset[Keyed] = {
+  def throttleStream(ds: Dataset[Keyed], threshold: Int, windowMs: Long,
+                     watermarkDelay: Option[String] = None): Dataset[Keyed] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
+    val src = watermarkDelay.fold(ds)(d => ds.withWatermark("ts", d))
+    val timeoutConf =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.key)
       .flatMapGroupsWithState[ThrottleState, Keyed](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[ThrottleState]) =>
-          // state is one (window, count) pair per key — O(keys) total; a
-          // production deployment bounds it with event-time timeout +
-          // watermark (the reference's periodic key flush). NoTimeout here:
-          // Spark 4.1's micro-batch engine re-triggers endlessly on
-          // processing-time timeouts, which a test harness can't drain.
-          var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
-          val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>
-            val w = r.ts.getTime / windowMs
-            if (w != st.windowStartMs) st = ThrottleState(w, 0)
-            if (st.count < threshold) { st = st.copy(count = st.count + 1); Some(r) }
-            else None
+          if (state.hasTimedOut) {
+            state.remove() // idle key: evict quota state
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
+            val rs = rows.toSeq.sortBy(_.ts.getTime)
+            val out = rs.flatMap { r =>
+              val w = r.ts.getTime / windowMs
+              if (w != st.windowStartMs) st = ThrottleState(w, 0)
+              if (st.count < threshold) { st = st.copy(count = st.count + 1); Some(r) }
+              else None
+            }
+            state.update(st)
+            if (watermarkDelay.isDefined && rs.nonEmpty) {
+              // evict once the watermark passes a full window beyond the
+              // key's last event (clamped above the current watermark, as
+              // the API requires)
+              val evictAt = rs.map(_.ts.getTime).max + windowMs
+              state.setTimeoutTimestamp(
+                math.max(evictAt, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

@@ -106,6 +106,32 @@ class StreamOpsSpec extends SparkSpec {
     table.destroy()
   }
 
+  test("throttle event-time timeout evicts idle keys, output unchanged") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    in.addData((1 to 5).map(i => Keyed("a", ts(i), s"a$i")): _*)
+    val out = throttleStream(in.toDS(), threshold = 2, windowMs = 10000L,
+      watermarkDelay = Some("5 seconds"))
+    val q = out.toDF().writeStream.format("memory").queryName("th3")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past key a's eviction point with another key
+      in.addData(Keyed("b", ts(1000), "b1"))
+      q.processAllAvailable()
+      in.addData(Keyed("b", ts(2000), "b2"))
+      q.processAllAvailable()
+      // throttling semantics unchanged by the timeout mode
+      val got = spark.table("th3").as[Keyed].collect().map(_.payload).sorted
+      assert(got.toSeq == Seq("a1", "a2", "b1", "b2"))
+      // state is bounded to active keys: a was evicted, only b remains
+      val lastState = q.recentProgress.reverse
+        .flatMap(_.stateOperators.headOption).headOption
+      assert(lastState.exists(_.numRowsTotal <= 1L),
+        s"state not evicted: ${lastState.map(_.numRowsTotal)}")
+    } finally q.stop()
+  }
+
   test("throttle state resets in a new window") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Keyed]
