@@ -32,8 +32,11 @@ object Bench {
     spark.stop()
 
     // north-rule scaling evidence (pinned child JVMs; skipped gracefully if
-    // the environment can't spawn them)
-    val scaling = scala.util.Try {
+    // the environment can't spawn them, or explicitly via
+    // SPARK_GRAFT_SCALING=0 for queries-only runs like the per-query
+    // core-ratio table in BENCH.md)
+    val scaling = if (sys.env.get("SPARK_GRAFT_SCALING").contains("0")) None
+    else scala.util.Try {
       val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
       val r = ScalingBench.measure(rows, maxTok = 256, dir = "/tmp/graft_scaling_input")
       ScalingBench.json(rows, r)

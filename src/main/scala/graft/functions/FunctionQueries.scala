@@ -383,6 +383,66 @@ object FunctionQueries {
         V.sha3Hex(word, 512).as("sha3_512"))
     }),
 
+    // ---- parse_aws_vpc_flow_log (v2 default format, grok-compiled) ----
+    "f_parse_vpcflow" -> ((s, dir) => {
+      val line = concat_ws(" ",
+        lit("2"), lit("123456789012"),
+        concat(lit("eni-"), pmod(col("event_id"), lit(99))),
+        concat(lit("10.0."), pmod(col("user_id"), lit(5)), lit(".4")),
+        lit("10.0.1.5"),
+        pmod(col("event_id"), lit(65535)),
+        lit("443"), lit("6"),
+        pmod(col("event_id"), lit(100)) + 1,
+        (pmod(col("event_id"), lit(100)) + 1) * 40,
+        lit("1600000000"), lit("1600000060"),
+        when(pmod(col("event_id"), lit(4)) === 0, "REJECT").otherwise("ACCEPT"),
+        lit("OK"))
+      graft.parse.Grok.parseAwsVpcFlowLog(
+        ev(s, dir).withColumn("line", line), col("line"))
+        .filter(col("_parse_ok"))
+        .select(col("event_id"), col("interface_id"), col("srcaddr"),
+          col("srcport"), col("packets"), col("bytes"), col("action"))
+    }),
+
+    // ---- parse_linux_authorization (auth.log lines, grok-compiled) ----
+    "f_parse_auth" -> ((s, dir) => {
+      val line = concat(
+        lit("Feb  3 07:"), lpad(pmod(col("event_id"), lit(60)).cast("string"), 2, "0"),
+        lit(":"), lpad(pmod(col("user_id"), lit(60)).cast("string"), 2, "0"),
+        lit(" host-"), pmod(col("user_id"), lit(10)),
+        lit(" sshd["), pmod(col("event_id"), lit(9000)) + 1000,
+        lit("]: Failed password for user"), pmod(col("user_id"), lit(50)),
+        lit(" from 10.1.2.3 port 22 ssh2"))
+      graft.parse.Grok.parseLinuxAuthorization(
+        ev(s, dir).withColumn("line", line), col("line"))
+        .filter(col("_parse_ok"))
+        .select(col("event_id"), col("ts_str"), col("host"), col("appname"),
+          col("pid"), col("message"))
+    }),
+
+    // ---- parse_bytes ("1.5MiB" → byte count; binary + decimal units) ----
+    "f_parse_bytes" -> ((s, dir) => {
+      val sel = element_at(array(ByteInputs.map(p => lit(p._1)): _*),
+        (pmod(col("event_id"), lit(ByteInputs.length)) + 1).cast("int"))
+      ev(s, dir).select(col("event_id"), sel.as("raw"),
+        V.parseBytes(sel).as("n_bytes"))
+    }),
+
+    // ---- encode/decode gzip + zlib (native Deflater expressions) ----
+    // roundtrip oracle: DuckDB has no gzip, but decode(encode(x)) == x and
+    // compression shrinking a repetitive payload are engine-checkable facts
+    "f_compress" -> ((s, dir) => {
+      val msg = repeat(concat(col("event_type"), lit(" ")), 50)
+      val gz = V.encodeGzip(msg)
+      val zl = V.encodeZlib(msg)
+      ev(s, dir).select(col("event_id"),
+        substring(V.decodeGzip(gz), 1, 20).as("gz_head"),
+        (V.decodeGzip(gz) === msg).as("gz_ok"),
+        (V.decodeZlib(zl) === msg).as("zl_ok"),
+        (length(gz) < length(msg)).as("gz_smaller"),
+        (length(zl) < length(gz)).as("zl_tighter"))
+    }),
+
     // ---- encode_punycode / decode_punycode (native IDN expression) ----
     "f_punycode" -> ((s, dir) => {
       val dom = element_at(array(PunyDomains.map(lit): _*),
@@ -402,6 +462,13 @@ object FunctionQueries {
   /** IDN test domains (mixed ASCII and internationalized). */
   private val PunyDomains =
     Seq("example.com", "bücher.example", "münchen.de", "café.fr")
+
+  /** parse_bytes inputs with hand-derived expected byte counts (exact in
+    * double arithmetic, so the JVM constants equal the column program).
+    */
+  private val ByteInputs = Seq(
+    "512B" -> 512L, "1.5KiB" -> 1536L, "2MiB" -> 2097152L,
+    "3GB" -> 3000000000L, "1TiB" -> 1099511627776L, "750KB" -> 750000L)
 
   def oracleSql: Map[String, String] = Map(
 
@@ -504,6 +571,43 @@ object FunctionQueries {
          | ${pick(Sha3Words.map(w => Sha3.hex(w, 512)))} AS sha3_512
          |FROM events""".stripMargin
     },
+
+    "f_parse_vpcflow" ->
+      """SELECT event_id,
+        | ('eni-' || (event_id % 99)) AS interface_id,
+        | ('10.0.' || (user_id % 5) || '.4') AS srcaddr,
+        | (event_id % 65535) AS srcport,
+        | ((event_id % 100) + 1) AS packets,
+        | (((event_id % 100) + 1) * 40) AS bytes,
+        | CASE WHEN event_id % 4 = 0 THEN 'REJECT' ELSE 'ACCEPT' END AS action
+        |FROM events""".stripMargin,
+
+    "f_parse_auth" ->
+      """SELECT event_id,
+        | ('Feb  3 07:' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') || ':'
+        |   || lpad(CAST(user_id % 60 AS VARCHAR), 2, '0')) AS ts_str,
+        | ('host-' || (user_id % 10)) AS host,
+        | 'sshd' AS appname,
+        | ((event_id % 9000) + 1000) AS pid,
+        | ('Failed password for user' || (user_id % 50)
+        |   || ' from 10.1.2.3 port 22 ssh2') AS message
+        |FROM events""".stripMargin,
+
+    "f_parse_bytes" -> {
+      def pickKv(vals: Seq[(String, Long)], f: ((String, Long)) => String): String =
+        s"(CASE (event_id % ${vals.length}) " + vals.zipWithIndex.map {
+          case (v, i) => s"WHEN $i THEN ${f(v)}" }.mkString(" ") + " END)"
+      s"""SELECT event_id,
+         | ${pickKv(ByteInputs, kv => s"'${kv._1}'")} AS raw,
+         | ${pickKv(ByteInputs, kv => s"CAST(${kv._2} AS BIGINT)")} AS n_bytes
+         |FROM events""".stripMargin
+    },
+
+    "f_compress" ->
+      """SELECT event_id,
+        | substr(repeat(event_type || ' ', 50), 1, 20) AS gz_head,
+        | true AS gz_ok, true AS zl_ok, true AS gz_smaller, true AS zl_tighter
+        |FROM events""".stripMargin,
 
     "f_punycode" -> {
       def pick(vals: Seq[String]): String =

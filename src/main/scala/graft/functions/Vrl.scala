@@ -47,6 +47,21 @@ object Vrl {
       .when(unit === "m", 60.0).when(unit === "h", 3600.0)
   }
 
+  /** VRL `parse_bytes` (parse_bytes.cue): "1.5MiB" / "3GB" → byte count.
+    * Binary units (KiB..PiB, 1024^k) and decimal (KB..PB, 1000^k); floor
+    * to integer bytes. Null unit/number → null (error lane).
+    */
+  def parseBytes(c: Column): Column = {
+    val n = nullif(regexp_extract(c, "^([0-9]+(?:\\.[0-9]+)?)", 1), lit("")).cast("double")
+    val unit = nullif(regexp_extract(c, "([KMGTP]?i?B)$", 1), lit(""))
+    val mult = Seq("K", "M", "G", "T", "P").zipWithIndex.foldLeft(
+      when(unit === "B", 1.0)) { case (acc, (u, i)) =>
+        acc.when(unit === s"${u}iB", math.pow(1024.0, i + 1.0))
+          .when(unit === s"${u}B", math.pow(1000.0, i + 1.0))
+      }
+    floor(n * mult).cast("long")
+  }
+
   /** `parse_int` with radix 16 / 2 / 8. */
   def parseHex(c: Column): Column = conv(c, 16, 10).cast("long")
   def parseBin(c: Column): Column = conv(c, 2, 10).cast("long")
@@ -135,6 +150,27 @@ object Vrl {
       lit("DEFAULT"), iv)
   def decryptAes(c: Column, key: String, mode: String = "ECB"): Column =
     aes_decrypt(c, lit(key.getBytes("UTF-8")), lit(mode), lit("DEFAULT")).cast("string")
+
+  /** VRL `encode_gzip`/`decode_gzip`/`encode_zlib`/`decode_zlib` — native
+    * codegen'd [[Compress]]/[[Decompress]] over JDK Deflater
+    * (byte-deterministic: fixed level, zero gzip MTIME).
+    */
+  def encodeGzip(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Compress(Bridge.expression(c), gzip = true))
+  }
+  def decodeGzip(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Decompress(Bridge.expression(c), gzip = true))
+  }
+  def encodeZlib(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Compress(Bridge.expression(c), gzip = false))
+  }
+  def decodeZlib(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Decompress(Bridge.expression(c), gzip = false))
+  }
 
   /** VRL `encode_punycode` / `decode_punycode` — native codegen'd
     * [[Punycode]] over `java.net.IDN` (RFC 3490 IDNA).

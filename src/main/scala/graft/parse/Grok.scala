@@ -61,6 +61,30 @@ object Grok {
   def parseNginxLog(df: DataFrame, src: Column): DataFrame =
     parse(df, src, NginxCombinedGrok)
 
+  /** VRL `parse_aws_vpc_flow_log` (reference: website/cue/reference/remap/
+    * functions/parse_aws_vpc_flow_log.cue) — the default v2 14-field
+    * space-separated format.
+    */
+  val AwsVpcFlowPattern: String =
+    "%{INT:version:int} %{NOTSPACE:account_id} %{NOTSPACE:interface_id} " +
+      "%{NOTSPACE:srcaddr} %{NOTSPACE:dstaddr} %{INT:srcport:int} " +
+      "%{INT:dstport:int} %{INT:protocol:int} %{INT:packets:int} " +
+      "%{INT:bytes:int} %{INT:start_ts:int} %{INT:end_ts:int} " +
+      "%{WORD:action} %{WORD:log_status}"
+  lazy val AwsVpcFlowGrok: Compiled = compile(AwsVpcFlowPattern)
+  def parseAwsVpcFlowLog(df: DataFrame, src: Column): DataFrame =
+    parse(df, src, AwsVpcFlowGrok)
+
+  /** VRL `parse_linux_authorization` (parse_linux_authorization.cue) —
+    * auth.log / secure lines: syslog timestamp, host, program[pid], message.
+    */
+  val LinuxAuthPattern: String =
+    "%{SYSLOGTIMESTAMP:ts_str} %{HOSTNAME:host} %{PROG:appname}[%{POSINT:pid:int}]: " +
+      "%{GREEDYDATA:message}"
+  lazy val LinuxAuthGrok: Compiled = compile(LinuxAuthPattern)
+  def parseLinuxAuthorization(df: DataFrame, src: Column): DataFrame =
+    parse(df, src, LinuxAuthGrok)
+
   /** One extracted field: name, 1-based capture group, SQL cast type (or null). */
   final case class Field(name: String, group: Int, castTo: Option[String])
 
