@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 scale point for the heavy data-ops queries (VERDICT r3 item
+  * 2): the driver ships testdata only up to sf0.1, so this main
+  * synthesizes documents/embeddings tables of the SAME SHAPE as the
+  * driver's (31-word vocab, 10–100 words/doc, ~0.16% exact-dup rate, 20
+  * sources, 5 langs; 64-dim ~unit-norm embeddings, 10 labels) at any row
+  * count, deterministically (pure column functions of `id` — identical at
+  * any parallelism), then times the `d_*`/`t_*` query subset on it.
+  *
+  * Usage:
+  *   --materialize <dir> <nDocs> <nEmb>
+  *   --run <dir> [namePrefix,...]   (default subset: d_,t_)
+  *
+  * Ratios between a 5 000-doc and a 50 000-doc run isolate data-scale
+  * growth from generator differences (both points share this generator).
+  */
+object ScaleUpBench {
+
+  /** The driver documents vocabulary (extracted from sf0.1 testdata). */
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val vocabArr = array(Vocab.map(lit): _*)
+    val langArr = array(Langs.map(lit): _*)
+    // text is a pure function of an "author" id; ~1/625 of docs reuse an
+    // earlier author → exact duplicates at the testdata's observed rate
+    val author = when(
+      pmod(xxhash64(lit("dup"), col("id")), lit(625L)) === 0 && col("id") >= 40,
+      col("id") - 40).otherwise(col("id"))
+    val nWords = (pmod(xxhash64(lit("len"), author), lit(91L)) + 10).cast("int")
+    val words = transform(sequence(lit(1), nWords),
+      j => element_at(vocabArr,
+        (pmod(xxhash64(lit("w"), author, j), lit(Vocab.size.toLong)) + 1).cast("int")))
+    spark.range(0, n)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", words).as("text"),
+        element_at(langArr, (pmod(col("id"), lit(5L)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20L)).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(0, n)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => ((pmod(xxhash64(lit("e"), col("id"), j), lit(2001L)) - 1000) / 1730.0)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10L)).cast("int").as("label"))
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--materialize" :: dir :: nDocs :: nEmb :: Nil =>
+      val spark = session()
+      documents(spark, nDocs.toLong).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      embeddings(spark, nEmb.toLong).repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"MATERIALIZED $dir docs=$nDocs emb=$nEmb")
+      spark.stop()
+
+    case "--run" :: dir :: rest =>
+      val prefixes = rest.headOption.map(_.split(",").toSeq).getOrElse(Seq("d_", "t_"))
+      val spark = session()
+      // warmup: parquet footers + codegen machinery
+      scala.util.Try(spark.read.parquet(s"$dir/documents.parquet").count())
+      val subset = SparkEntry.queries.toSeq
+        .filter { case (n, _) => prefixes.exists(n.startsWith) }.sortBy(_._1)
+      val results = subset.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = scala.util.Try(fn(spark, dir).count())
+        name -> (if (ok.isSuccess) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      println(s"""SCALEUP {"dir":"$dir","total":${results.map(_._2).filter(_ > 0).sum},"queries":$qs}""")
+      spark.stop()
+
+    case other =>
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] (got $other)")
+      sys.exit(2)
+  }
+}

@@ -215,7 +215,10 @@ object Dedupe {
     val spark = pairs.sparkSession
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
+        // setCheckpointDir is SESSION-GLOBAL — only touch it when unset or
+        // actually different, so a caller's pre-configured dir survives
+        val cur = spark.sparkContext.getCheckpointDir
+        if (!cur.contains(dir)) spark.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import java.io.ByteArrayOutputStream
-import java.util.zip.{Deflater, GZIPInputStream, GZIPOutputStream, Inflater}
+import java.util.zip.{DataFormatException, Deflater, GZIPInputStream, GZIPOutputStream, Inflater}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -10,14 +10,20 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd compression codecs (VRL `encode_gzip`/`decode_gzip`/
-  * `encode_zlib`/`decode_zlib` — reference: website/cue/reference/remap/
-  * functions/encode_gzip.cue et al.; also the sink `compression` option).
-  * JDK Deflater at a fixed level, GZIP with the default zero MTIME —
-  * byte-deterministic, so compressed payloads are replay-stable.
+  * `encode_zlib`/`decode_zlib`/`encode_zstd`/`decode_zstd`/`encode_snappy`/
+  * `decode_snappy`/`encode_lz4`/`decode_lz4` — reference:
+  * website/cue/reference/remap/functions/encode_gzip.cue et al.; also the
+  * sink `compression` option). gzip/zlib use the JDK Deflater at a fixed
+  * level with the default zero GZIP MTIME; zstd/snappy/lz4 use the
+  * zstd-jni / snappy-java / lz4-java libraries already on the Spark
+  * classpath (lz4 in self-describing frame format, zstd frames, snappy raw
+  * block) — all byte-deterministic, so compressed payloads are
+  * replay-stable.
   */
-case class Compress(child: Expression, gzip: Boolean) extends UnaryExpression {
+case class Compress(child: Expression, codec: String) extends UnaryExpression {
+  require(Compression.Codecs.contains(codec), s"unknown codec $codec")
   override def dataType: DataType = BinaryType
-  override def prettyName: String = if (gzip) "encode_gzip" else "encode_zlib"
+  override def prettyName: String = s"encode_$codec"
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -30,14 +36,14 @@ case class Compress(child: Expression, gzip: Boolean) extends UnaryExpression {
     case b: Array[Byte] => b
   }
 
-  override def nullSafeEval(v: Any): Any = Compression.compress(toBytes(v), gzip)
+  override def nullSafeEval(v: Any): Any = Compression.compress(toBytes(v), codec)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val conv = child.dataType match {
       case StringType => (c: String) => s"$c.getBytes()"
       case _ => (c: String) => c
     }
-    defineCodeGen(ctx, ev, c => s"graft.functions.Compression.compress(${conv(c)}, $gzip)")
+    defineCodeGen(ctx, ev, c => s"""graft.functions.Compression.compress(${conv(c)}, "$codec")""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Compress =
@@ -45,11 +51,16 @@ case class Compress(child: Expression, gzip: Boolean) extends UnaryExpression {
 }
 
 /** Inverse of [[Compress]]; emits the decompressed bytes as a UTF-8 string
-  * (the VRL decode functions return strings).
+  * (the VRL decode functions return strings). FALLIBLE like the reference's
+  * `decode_gzip!`: a corrupt/truncated payload yields NULL (routable to a
+  * dropped lane) instead of killing the task — the convention for every
+  * function fed external data (same as the `_parse_ok` lanes).
   */
-case class Decompress(child: Expression, gzip: Boolean) extends UnaryExpression {
+case class Decompress(child: Expression, codec: String) extends UnaryExpression {
+  require(Compression.Codecs.contains(codec), s"unknown codec $codec")
   override def dataType: DataType = StringType
-  override def prettyName: String = if (gzip) "decode_gzip" else "decode_zlib"
+  override def prettyName: String = s"decode_$codec"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -57,25 +68,37 @@ case class Decompress(child: Expression, gzip: Boolean) extends UnaryExpression 
       case t => TypeCheckResult.TypeCheckFailure(s"decompress needs binary, got $t")
     }
 
-  override def nullSafeEval(v: Any): Any =
-    UTF8String.fromBytes(Compression.decompress(v.asInstanceOf[Array[Byte]], gzip))
+  override def nullSafeEval(v: Any): Any = {
+    val r = Compression.decompressOrNull(v.asInstanceOf[Array[Byte]], codec)
+    if (r == null) null else UTF8String.fromBytes(r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"UTF8String.fromBytes(graft.functions.Compression.decompress($c, $gzip))")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |byte[] ${ev.value}_b = graft.functions.Compression.decompressOrNull($c, "$codec");
+         |if (${ev.value}_b == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = UTF8String.fromBytes(${ev.value}_b);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Decompress =
     copy(child = newChild)
 }
 
 object Compression {
-  def compress(in: Array[Byte], gzip: Boolean): Array[Byte] =
-    if (gzip) {
+  val Codecs: Set[String] = Set("gzip", "zlib", "zstd", "snappy", "lz4")
+
+  def compress(in: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "gzip" =>
       val bos = new ByteArrayOutputStream(in.length / 2 + 32)
       val g = new GZIPOutputStream(bos)
       g.write(in); g.close()
       bos.toByteArray
-    } else {
+    case "zlib" =>
       val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
       d.setInput(in); d.finish()
       val bos = new ByteArrayOutputStream(in.length / 2 + 32)
@@ -83,10 +106,34 @@ object Compression {
       while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
       d.end()
       bos.toByteArray
+    case "zstd" =>
+      // default level 3 (the reference's zstd default); single-frame with
+      // content size header — self-describing for decode
+      com.github.luben.zstd.Zstd.compress(in, 3)
+    case "snappy" =>
+      org.xerial.snappy.Snappy.compress(in)
+    case "lz4" =>
+      // self-describing LZ4 frame (the interoperable `lz4` CLI format,
+      // which the reference's lz4 codec reads/writes)
+      val bos = new ByteArrayOutputStream(in.length / 2 + 32)
+      val f = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      f.write(in); f.close()
+      bos.toByteArray
+  }
+
+  /** Total decode: null for ANY malformed payload (truncated, corrupt,
+    * preset-dictionary zlib, wrong magic) — never throws, never loops.
+    */
+  def decompressOrNull(in: Array[Byte], codec: String): Array[Byte] =
+    try decompress(in, codec)
+    catch {
+      case _: DataFormatException | _: java.io.IOException |
+           _: com.github.luben.zstd.ZstdException |
+           _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null
     }
 
-  def decompress(in: Array[Byte], gzip: Boolean): Array[Byte] =
-    if (gzip) {
+  private def decompress(in: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "gzip" =>
       val g = new GZIPInputStream(new java.io.ByteArrayInputStream(in))
       val bos = new ByteArrayOutputStream(in.length * 3 + 32)
       val buf = new Array[Byte](4096)
@@ -94,20 +141,40 @@ object Compression {
       while (n > 0) { bos.write(buf, 0, n); n = g.read(buf) }
       g.close()
       bos.toByteArray
-    } else {
+    case "zlib" =>
       val inf = new Inflater()
       inf.setInput(in)
       val bos = new ByteArrayOutputStream(in.length * 3 + 32)
       val buf = new Array[Byte](4096)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        // n == 0 with the stream finished is the normal empty-payload end;
-        // n == 0 while more input is needed means a truncated stream
-        if (n == 0 && !inf.finished() && inf.needsInput())
-          throw new java.util.zip.DataFormatException("truncated zlib stream")
+        // any zero-byte step on an unfinished stream is malformed input:
+        // truncation (needsInput), an FDICT preset-dictionary stream
+        // (needsDictionary — inflate() would return 0 forever), or any
+        // other stall — throw rather than busy-loop the task
+        if (n == 0 && !inf.finished())
+          throw new DataFormatException(
+            if (inf.needsDictionary()) "zlib stream requires preset dictionary"
+            else "truncated zlib stream")
         bos.write(buf, 0, n)
       }
       inf.end()
       bos.toByteArray
-    }
+    case "zstd" =>
+      val sz = com.github.luben.zstd.Zstd.getFrameContentSize(in)
+      if (sz < 0 || sz > Int.MaxValue.toLong)
+        throw new DataFormatException("zstd frame without decodable content size")
+      com.github.luben.zstd.Zstd.decompress(in, sz.toInt)
+    case "snappy" =>
+      org.xerial.snappy.Snappy.uncompress(in)
+    case "lz4" =>
+      val f = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(in))
+      val bos = new ByteArrayOutputStream(in.length * 3 + 32)
+      val buf = new Array[Byte](4096)
+      var n = f.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = f.read(buf) }
+      f.close()
+      bos.toByteArray
+  }
 }

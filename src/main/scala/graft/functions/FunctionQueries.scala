@@ -440,7 +440,44 @@ object FunctionQueries {
         (V.decodeGzip(gz) === msg).as("gz_ok"),
         (V.decodeZlib(zl) === msg).as("zl_ok"),
         (length(gz) < length(msg)).as("gz_smaller"),
-        (length(zl) < length(gz)).as("zl_tighter"))
+        (length(zl) < length(gz)).as("zl_tighter"),
+        (V.decodeZstd(V.encodeZstd(msg)) === msg).as("zstd_ok"),
+        (V.decodeSnappy(V.encodeSnappy(msg)) === msg).as("snappy_ok"),
+        (V.decodeLz4(V.encodeLz4(msg)) === msg).as("lz4_ok"),
+        (length(V.encodeZstd(msg)) < length(msg)).as("zstd_smaller"),
+        // fallible decode: corrupt payload → NULL, not a task failure
+        V.decodeGzip(msg.cast("binary")).isNull.as("corrupt_gz_null"),
+        V.decodeZstd(msg.cast("binary")).isNull.as("corrupt_zstd_null"))
+    }),
+
+    // ---- avro binary codec (lib/codecs/src/decoding/format/avro.rs) over
+    //      the classpath avro-1.12 core: encode→decode roundtrip is the
+    //      oracle-checkable identity; corrupt datums decode to NULL ----
+    "f_avro" -> ((s, dir) => {
+      val enc = V.encodeAvro(
+        struct(col("event_id"), col("event_type"), col("value")), AvroEvSchema)
+      val dec = V.decodeAvro(enc, AvroEvSchema)
+      ev(s, dir).select(col("event_id"),
+        dec.getField("event_type").as("a_type"),
+        dec.getField("value").as("a_value"),
+        (length(enc) > lit(0)).as("nonempty"),
+        V.decodeAvro(lit("x".getBytes("UTF-8")), AvroEvSchema).isNull.as("corrupt_null"))
+    }),
+
+    // ---- wave-4 VRL long tail: parse_tokens, strip_ansi_escape_codes,
+    //      seeded uuid_v4/v7, ip_to_ipv6/ipv6_to_ipv4 ----
+    "f_vrl_wave4" -> ((s, dir) => {
+      val line = concat(lit("GET /api ["), col("event_type"), lit("] \"agent "),
+        col("user_id"), lit("\" done"))
+      val ip4 = concat(lit("10."), (col("user_id") % 200).cast("string"),
+        lit(".0."), (col("event_id") % 250).cast("string"))
+      ev(s, dir).select(col("event_id"),
+        array_join(V.parseTokens(line), "|").as("tokens"),
+        V.uuidV4Seeded(col("event_id")).as("uuid4"),
+        V.uuidV7Seeded(col("ts"), col("event_id")).as("uuid7"),
+        V.ipToIpv6(ip4).as("v6"),
+        V.ipv6ToIpv4(V.ipToIpv6(ip4)).as("v4_back"),
+        V.ipv6ToIpv4(lit("2001:db8::1")).as("not_mapped"))
     }),
 
     // ---- encode_punycode / decode_punycode (native IDN expression) ----
@@ -462,6 +499,13 @@ object FunctionQueries {
   /** IDN test domains (mixed ASCII and internationalized). */
   private val PunyDomains =
     Seq("example.com", "bücher.example", "münchen.de", "café.fr")
+
+  /** Flat avro record schema for the f_avro roundtrip. */
+  private val AvroEvSchema =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
 
   /** parse_bytes inputs with hand-derived expected byte counts (exact in
     * double arithmetic, so the JVM constants equal the column program).
@@ -606,8 +650,36 @@ object FunctionQueries {
     "f_compress" ->
       """SELECT event_id,
         | substr(repeat(event_type || ' ', 50), 1, 20) AS gz_head,
-        | true AS gz_ok, true AS zl_ok, true AS gz_smaller, true AS zl_tighter
+        | true AS gz_ok, true AS zl_ok, true AS gz_smaller, true AS zl_tighter,
+        | true AS zstd_ok, true AS snappy_ok, true AS lz4_ok, true AS zstd_smaller,
+        | true AS corrupt_gz_null, true AS corrupt_zstd_null
         |FROM events""".stripMargin,
+
+    "f_avro" ->
+      """SELECT event_id, event_type AS a_type, value AS a_value,
+        | true AS nonempty, true AS corrupt_null
+        |FROM events""".stripMargin,
+
+    "f_vrl_wave4" -> {
+      val line = """'GET /api [' || event_type || '] "agent ' || user_id || '" done'"""
+      val ip4 = "'10.' || (user_id % 200) || '.0.' || (event_id % 250)"
+      val h = "md5(CAST(event_id AS VARCHAR))"
+      val vChar = s"CASE (CAST('0x' || substr($h,17,1) AS BIGINT) % 4) " +
+        "WHEN 0 THEN '8' WHEN 1 THEN '9' WHEN 2 THEN 'a' ELSE 'b' END"
+      s"""SELECT event_id,
+         | array_to_string(regexp_extract_all($line,
+         |   '"[^"]*"|\\[[^\\]]*\\]|[^\\s]+'), '|') AS tokens,
+         | substr($h,1,8) || '-' || substr($h,9,4) || '-4' || substr($h,14,3)
+         |   || '-' || $vChar || substr($h,18,3) || '-' || substr($h,21,12) AS uuid4,
+         | lower(lpad(to_hex(epoch_ms(ts)),12,'0'))[1:8] || '-'
+         |   || lower(lpad(to_hex(epoch_ms(ts)),12,'0'))[9:12]
+         |   || '-7' || substr($h,1,3) || '-' || $vChar || substr($h,4,3)
+         |   || '-' || substr($h,7,12) AS uuid7,
+         | '::ffff:' || $ip4 AS v6,
+         | $ip4 AS v4_back,
+         | CAST(NULL AS VARCHAR) AS not_mapped
+         |FROM events""".stripMargin
+    },
 
     "f_punycode" -> {
       def pick(vals: Seq[String]): String =

@@ -52,8 +52,12 @@ object Vrl {
     * to integer bytes. Null unit/number → null (error lane).
     */
   def parseBytes(c: Column): Column = {
-    val n = nullif(regexp_extract(c, "^([0-9]+(?:\\.[0-9]+)?)", 1), lit("")).cast("double")
-    val unit = nullif(regexp_extract(c, "([KMGTP]?i?B)$", 1), lit(""))
+    // one full-string match: number immediately followed by unit — any
+    // interior garbage ("1.5xKiB") fails the whole parse (fallible, like
+    // the reference's parse_bytes!), not just the unanchored middle
+    val full = "^([0-9]+(?:\\.[0-9]+)?)([KMGTP]?i?B)$"
+    val n = nullif(regexp_extract(c, full, 1), lit("")).cast("double")
+    val unit = nullif(regexp_extract(c, full, 2), lit(""))
     val mult = Seq("K", "M", "G", "T", "P").zipWithIndex.foldLeft(
       when(unit === "B", 1.0)) { case (acc, (u, i)) =>
         acc.when(unit === s"${u}iB", math.pow(1024.0, i + 1.0))
@@ -151,26 +155,30 @@ object Vrl {
   def decryptAes(c: Column, key: String, mode: String = "ECB"): Column =
     aes_decrypt(c, lit(key.getBytes("UTF-8")), lit(mode), lit("DEFAULT")).cast("string")
 
-  /** VRL `encode_gzip`/`decode_gzip`/`encode_zlib`/`decode_zlib` — native
-    * codegen'd [[Compress]]/[[Decompress]] over JDK Deflater
-    * (byte-deterministic: fixed level, zero gzip MTIME).
+  /** VRL `encode_gzip`/`decode_gzip`/`encode_zlib`/`decode_zlib`/
+    * `encode_zstd`/`decode_zstd`/`encode_snappy`/`decode_snappy`/
+    * `encode_lz4`/`decode_lz4` — native codegen'd
+    * [[Compress]]/[[Decompress]] (byte-deterministic; decode is fallible →
+    * NULL on corrupt payloads, like the reference's `decode_gzip!`).
     */
-  def encodeGzip(c: Column): Column = {
+  def encodeCompressed(c: Column, codec: String): Column = {
     import org.apache.spark.sql.graft.Bridge
-    Bridge.column(Compress(Bridge.expression(c), gzip = true))
+    Bridge.column(Compress(Bridge.expression(c), codec))
   }
-  def decodeGzip(c: Column): Column = {
+  def decodeCompressed(c: Column, codec: String): Column = {
     import org.apache.spark.sql.graft.Bridge
-    Bridge.column(Decompress(Bridge.expression(c), gzip = true))
+    Bridge.column(Decompress(Bridge.expression(c), codec))
   }
-  def encodeZlib(c: Column): Column = {
-    import org.apache.spark.sql.graft.Bridge
-    Bridge.column(Compress(Bridge.expression(c), gzip = false))
-  }
-  def decodeZlib(c: Column): Column = {
-    import org.apache.spark.sql.graft.Bridge
-    Bridge.column(Decompress(Bridge.expression(c), gzip = false))
-  }
+  def encodeGzip(c: Column): Column = encodeCompressed(c, "gzip")
+  def decodeGzip(c: Column): Column = decodeCompressed(c, "gzip")
+  def encodeZlib(c: Column): Column = encodeCompressed(c, "zlib")
+  def decodeZlib(c: Column): Column = decodeCompressed(c, "zlib")
+  def encodeZstd(c: Column): Column = encodeCompressed(c, "zstd")
+  def decodeZstd(c: Column): Column = decodeCompressed(c, "zstd")
+  def encodeSnappy(c: Column): Column = encodeCompressed(c, "snappy")
+  def decodeSnappy(c: Column): Column = decodeCompressed(c, "snappy")
+  def encodeLz4(c: Column): Column = encodeCompressed(c, "lz4")
+  def decodeLz4(c: Column): Column = decodeCompressed(c, "lz4")
 
   /** VRL `encode_punycode` / `decode_punycode` — native codegen'd
     * [[Punycode]] over `java.net.IDN` (RFC 3490 IDNA).
@@ -269,6 +277,74 @@ object Vrl {
   def ipCidrContains(net: Column, prefix: Int, ip: Column): Column = {
     val shift = math.pow(2, 32 - prefix).toLong
     (ipAton(ip) / shift).cast("long") === (ipAton(net) / shift).cast("long")
+  }
+
+  /** `ip_to_ipv6` (ip_to_ipv6.cue): IPv4 dotted quad → IPv4-mapped IPv6
+    * `::ffff:a.b.c.d`; an address already containing `:` passes through.
+    */
+  def ipToIpv6(c: Column): Column =
+    when(c.contains(":"), c).otherwise(concat(lit("::ffff:"), c))
+
+  /** `ipv6_to_ipv4` (ipv6_to_ipv4.cue): IPv4-mapped IPv6 → dotted quad;
+    * plain IPv4 passes through; any other IPv6 → null (the fallible error
+    * lane — the reference errors on non-v4-mapped input).
+    */
+  def ipv6ToIpv4(c: Column): Column = {
+    val mapped = regexp_extract(c, "(?i)^::ffff:((?:[0-9]{1,3}\\.){3}[0-9]{1,3})$", 1)
+    when(!c.contains(":"), c).otherwise(nullif(mapped, lit("")))
+  }
+
+  // ---------------- wave-4 long tail ----------------
+
+  /** VRL `parse_tokens` (parse_tokens.cue): split a log line into tokens
+    * where double-quoted strings and `[...]` groups each form ONE token —
+    * the shape of CLF-ish lines. Pure regex scan, no UDF.
+    */
+  def parseTokens(c: Column): Column =
+    regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|[^\\s]+"), lit(0))
+
+  /** Seeded deterministic UUID v4 (uuid_v4.cue is random; pipelines that
+    * must be REPLAY-STABLE derive the 122 random bits from a seed column
+    * instead — md5 of the seed, with the version nibble forced to `4` and
+    * the variant nibble into `8..b` per RFC 4122 §4.4). Pure string
+    * composition over md5 hex, identically expressible in the oracle.
+    */
+  def uuidV4Seeded(seed: Column): Column = {
+    val h = md5(seed.cast("string"))
+    val variant = element_at(array(lit("8"), lit("9"), lit("a"), lit("b")),
+      (pmod(conv(substring(h, 17, 1), 16, 10).cast("long"), lit(4L)) + 1).cast("int"))
+    concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-4"),
+      substring(h, 14, 3), lit("-"), variant, substring(h, 18, 3), lit("-"),
+      substring(h, 21, 12))
+  }
+
+  /** Seeded deterministic UUID v7 (uuid_v7.cue): 48-bit big-endian unix
+    * milliseconds from `ts`, then version `7` and RFC 9562 variant, with
+    * the random tail derived from the seed column.
+    */
+  def uuidV7Seeded(ts: Column, seed: Column): Column = {
+    // cast: parquet timestamps read back NTZ; the UTC session makes the
+    // NTZ→instant cast the same epoch the oracle's epoch_ms computes
+    val msHex = lpad(hex(unix_millis(ts.cast("timestamp"))), 12, "0")
+    val h = md5(seed.cast("string"))
+    val variant = element_at(array(lit("8"), lit("9"), lit("a"), lit("b")),
+      (pmod(conv(substring(h, 17, 1), 16, 10).cast("long"), lit(4L)) + 1).cast("int"))
+    concat(lower(substring(msHex, 1, 8)), lit("-"), lower(substring(msHex, 9, 4)),
+      lit("-7"), substring(h, 1, 3), lit("-"), variant, substring(h, 4, 3),
+      lit("-"), substring(h, 7, 12))
+  }
+
+  /** Fixed-schema avro binary encode/decode over the classpath avro core
+    * (lib/codecs/src/decoding/format/avro.rs) — see [[AvroEncode]]/
+    * [[AvroDecode]]. Decode is fallible → NULL struct on malformed datums.
+    */
+  def encodeAvro(c: Column, schemaJson: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(AvroEncode(Bridge.expression(c), schemaJson))
+  }
+  def decodeAvro(c: Column, schemaJson: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(AvroDecode(Bridge.expression(c), schemaJson))
   }
 
   // ---------------- syslog helpers ----------------

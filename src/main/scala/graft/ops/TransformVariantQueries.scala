@@ -93,6 +93,16 @@ object TransformVariantQueries {
         .select(col("event_id"), col("event_type"))
     }),
 
+    // ---- tag_cardinality_limit probabilistic/Bloom mode
+    //      (tag_cardinality_limit/config.rs:56-83, tag_value_set.rs:60-137)
+    //      over a 97-value derived tag so Bloom false positives actually
+    //      occur at limit=20/m=64 — the over-admissions ARE the semantics ----
+    "v_tag_bloom" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("tag97", (col("user_id") % 97).cast("string"))
+      Transforms.tagCardinalityLimitBloom(e, "tag97", col("ts"), limit = 20)
+        .select(col("event_id"), col("tag97"))
+    }),
+
     // ---- log_to_metric histogram mode (log_to_metric.rs:101-123) ----
     "v_log_to_metric_hist" -> ((s, dir) => {
       Transforms.logToMetricHistogram(ev(s, dir), Seq("event_type"),
@@ -299,6 +309,25 @@ object TransformVariantQueries {
         |  SELECT event_type, row_number() OVER (ORDER BY fs, event_type) AS rk
         |  FROM (SELECT event_type, min(ts) AS fs FROM events GROUP BY event_type)
         |) r ON e.event_type = r.event_type""".stripMargin,
+
+    "v_tag_bloom" ->
+      """WITH tagged AS (
+        |  SELECT event_id, ts, CAST(user_id % 97 AS VARCHAR) AS tag97 FROM events),
+        |acc AS (
+        |  SELECT tag97 FROM (
+        |    SELECT tag97, row_number() OVER (ORDER BY fs, tag97) AS rk
+        |    FROM (SELECT tag97, min(ts) AS fs FROM tagged GROUP BY tag97))
+        |  WHERE rk <= 20),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    (CAST('0x'||substr(md5(j || '|' || tag97),1,15) AS BIGINT) % 64) AS b
+        |  FROM acc, (VALUES ('0'),('1')) t(j))
+        |SELECT e.event_id, e.tag97 FROM tagged e
+        |WHERE e.tag97 IN (SELECT tag97 FROM acc)
+        |   OR ((CAST('0x'||substr(md5('0|' || e.tag97),1,15) AS BIGINT) % 64)
+        |         IN (SELECT b FROM bits)
+        |       AND (CAST('0x'||substr(md5('1|' || e.tag97),1,15) AS BIGINT) % 64)
+        |         IN (SELECT b FROM bits))""".stripMargin,
 
     "v_log_to_metric_hist" ->
       """SELECT event_type,

@@ -354,6 +354,40 @@ object Transforms {
       .drop("_allowed_tag")
   }
 
+  /** `tag_cardinality_limit` in PROBABILISTIC mode (reference:
+    * src/transforms/tag_cardinality_limit/config.rs:56-83 and
+    * tag_value_set.rs:60-137 — a Bloom filter tracks seen tag values
+    * instead of an exact HashSet; the mode deployments pick when exact
+    * tracking would blow memory at high cardinality). Batch analog, fully
+    * DETERMINISTIC so the oracle reproduces every accept/reject decision:
+    * the accepted set is the first `limit` values by first-seen time, and
+    * the Bloom filter is the k md5-derived bit positions of those accepted
+    * values in an m-bit table. A value passes if it is accepted OR all k
+    * of its bit positions collide with accepted bits — the Bloom FALSE
+    * POSITIVE, exactly the bounded over-admission the reference mode
+    * trades for O(m) memory. Scale shape: the accepted set (`limit` rows)
+    * and the bit table (≤ m rows) broadcast; the fact table never
+    * shuffles.
+    */
+  def tagCardinalityLimitBloom(df: DataFrame, tag: String, ts: Column,
+                               limit: Int, mBits: Int = 64, k: Int = 2): DataFrame = {
+    import graft.text.Hashing
+    def pos(j: Int, c: Column): Column =
+      pmod(Hashing.h15(concat(lit(s"$j|"), c)), lit(mBits.toLong))
+    val accepted = acceptedTags(df, tag, ts, limit)
+    val bits = (0 until k).map(j => accepted.select(pos(j, col(tag)).as("_b")))
+      .reduce(_ unionByName _).distinct()
+    val withAcc = df.join(broadcast(accepted.select(col(tag).as("_acc_v"))),
+      col(tag) === col("_acc_v"), "left")
+    val withHits = (0 until k).foldLeft(withAcc) { (d, j) =>
+      d.join(broadcast(bits.select(col("_b").as(s"_hit$j"))),
+        pos(j, col(tag)) === col(s"_hit$j"), "left")
+    }
+    val falsePositive = (0 until k).map(j => col(s"_hit$j").isNotNull).reduce(_ && _)
+    withHits.filter(col("_acc_v").isNotNull || falsePositive)
+      .drop(("_acc_v" +: (0 until k).map(j => s"_hit$j")): _*)
+  }
+
   /** `log_to_metric` histogram mode (reference: log_to_metric.rs:101-123 —
     * derive an AggregatedHistogram: cumulative bucket counts + count + sum).
     */

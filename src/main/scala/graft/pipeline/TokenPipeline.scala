@@ -192,13 +192,16 @@ object TokenPipeline {
 
     // counters from committed data only (exactly-once accounting); an
     // empty input commits no parquet → read is None → empty counters
+    // empty-input fallbacks keep the COUNTERS SCHEMA (not a zero-column
+    // emptyDataFrame) so consumers can always select the counter columns
     val counters = table.read(spark)
       .map(_.groupBy(col("sink"), col("source"))
         .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok")))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(routed.limit(0).groupBy(col("sink"), col("source"))
+        .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok")))
     val droppedCounts = droppedTable.read(spark)
       .map(_.groupBy(col("drop_reason")).agg(count(lit(1)).as("n")))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(dropped.limit(0).groupBy(col("drop_reason")).agg(count(lit(1)).as("n")))
 
     MultiResult(table, droppedTable, counters, droppedCounts, lineage, metrics)
   }

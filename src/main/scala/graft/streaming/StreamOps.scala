@@ -98,7 +98,24 @@ object StreamOps {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
-            val rs = rows.toSeq.sortBy(_.ts.getTime)
+            // Deterministic time-order processing needs the full group
+            // slice (a later row can sort before an earlier one), so the
+            // memory bound is O(rows per key per micro-batch) — but the
+            // common case (sources emit per-key time-ordered) is detected
+            // in the fill pass and skips the O(n log n) sort; max-ts for
+            // eviction rides the same pass instead of a second scan.
+            val buf = new scala.collection.mutable.ArrayBuffer[Keyed]()
+            var ordered = true
+            var prevTs = Long.MinValue
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              val t = r.ts.getTime
+              if (t < prevTs) ordered = false
+              prevTs = t
+              if (t > maxTs) maxTs = t
+              buf += r
+            }
+            val rs = if (ordered) buf else buf.sortInPlace()(Ordering.by(_.ts.getTime))
             val out = rs.flatMap { r =>
               val w = r.ts.getTime / windowMs
               if (w != st.windowStartMs) st = ThrottleState(w, 0)
@@ -106,13 +123,12 @@ object StreamOps {
               else None
             }
             state.update(st)
-            if (watermarkDelay.isDefined && rs.nonEmpty) {
+            if (watermarkDelay.isDefined && buf.nonEmpty) {
               // evict once the watermark passes a full window beyond the
               // key's last event (clamped above the current watermark, as
               // the API requires)
-              val evictAt = rs.map(_.ts.getTime).max + windowMs
               state.setTimeoutTimestamp(
-                math.max(evictAt, state.getCurrentWatermarkMs + 1))
+                math.max(maxTs + windowMs, state.getCurrentWatermarkMs + 1))
             }
             out.iterator
           }

@@ -149,6 +149,28 @@ class DataOpsSpec extends SparkSpec {
     assert(fused(3L)._2 > 0 && fused(1L)._2 == 0)
   }
 
+  test("native top_bigram_count equals the exploded groupBy formulation") {
+    import org.apache.spark.sql.graft.Bridge
+    val d = Seq(
+      (1L, base), (2L, "spam spam spam spam"), (3L, "tiny"), (4L, ""),
+      (5L, "καλημέρα κόσμε καλημέρα κόσμε καλημέρα"),
+      (6L, "a b a b a b c")
+    ).toDF("doc_id", "text")
+    val tk = TextOps.words(col("text"))
+    val native = d.select(col("doc_id"),
+      Bridge.column(graft.functions.TopBigramCount(Bridge.expression(tk))).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val exploded = d.select(col("doc_id"), explode_outer(
+        when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
+          j => concat_ws(" ", slice(tk, j, lit(2))))).otherwise(array())).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id")
+      .agg(max(when(col("bg").isNotNull, col("count")).otherwise(0L)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == exploded, s"$native vs $exploded")
+    assert(native(2L) == 3L && native(6L) == 3L && native(3L) == 0L)
+  }
+
   test("cosine near-dup: identical vector pair found at threshold ~1") {
     val v = Array.tabulate(16)(_.toFloat / 16f)
     val df = Seq((1L, v), (2L, v), (3L, v.map(x => 1f - x))).toDF("vec_id", "embedding")

@@ -72,4 +72,59 @@ class CryptoCodecSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(512L), Some(1536L), Some(2097152L),
       Some(3000000000L), Some(1099511627776L), Some(750000L), None))
   }
+
+  test("parse_bytes rejects malformed interiors (fully anchored match)") {
+    val got = Seq("1.5garbageKiB", "12KiBx", "x12KiB", "1.5 KiB", "KiB")
+      .toDF("t").select(Vrl.parseBytes(col("t"))).as[Option[Long]].collect()
+    assert(got.forall(_.isEmpty), got.toSeq.toString)
+  }
+
+  test("zstd/snappy/lz4 roundtrip, shrink repetitive payloads, deterministic") {
+    val s = "status=200 method=GET path=/api/v1/items " * 40
+    for (codec <- Seq("zstd", "snappy", "lz4")) {
+      val df = Seq(s, "", "καλημέρα ✓").toDF("t")
+      val got = df.select(
+        Vrl.decodeCompressed(Vrl.encodeCompressed(col("t"), codec), codec).as("rt"),
+        length(Vrl.encodeCompressed(col("t"), codec)).as("cl"),
+        length(col("t")).as("ol")).as[(String, Int, Int)].collect()
+      assert(got(0)._1 == s && got(1)._1 == "" && got(2)._1 == "καλημέρα ✓", codec)
+      assert(got(0)._2 < got(0)._3, s"$codec did not shrink: ${got(0)}")
+      val h1 = df.limit(1).select(hex(Vrl.encodeCompressed(col("t"), codec))).as[String].head()
+      val h2 = df.limit(1).select(hex(Vrl.encodeCompressed(col("t"), codec))).as[String].head()
+      assert(h1 == h2, s"$codec not deterministic")
+    }
+  }
+
+  test("compressed frames carry the public magic numbers (interop vectors)") {
+    // container formats are externally specified: zstd RFC 8878 magic
+    // 28 B5 2F FD (LE), lz4 frame spec magic 04 22 4D 18 (LE); snappy raw
+    // block = varint length + literal tag — "hello" → 05 10 68 65 6C 6C 6F
+    def hexOf(codec: String) =
+      Seq("hello").toDF("t").select(hex(Vrl.encodeCompressed(col("t"), codec)))
+        .as[String].head()
+    assert(hexOf("zstd").startsWith("28B52FFD"))
+    assert(hexOf("lz4").startsWith("04224D18"))
+    assert(hexOf("snappy") == "051068656C6C6F")
+    assert(hexOf("gzip").startsWith("1F8B08"))
+  }
+
+  test("corrupt/truncated payloads decode to NULL, never hang or throw") {
+    val garbage = lit("definitely not compressed".getBytes("UTF-8"))
+    // zlib stream demanding a preset dictionary (FDICT bit set): inflate()
+    // yields 0 bytes forever — the guard must null it out, not busy-loop
+    val fdict = lit(Array[Byte](0x78, 0x3F.toByte, 0x01, 0x02, 0x03, 0x04))
+    val gzBytes = Seq("a log line " * 10).toDF("t")
+      .select(Vrl.encodeGzip(col("t")).as("b")).as[Array[Byte]].head()
+    val gzTrunc = lit(gzBytes.take(10))
+    val got = Seq(1).toDF("x").select(
+      Vrl.decodeGzip(garbage).isNull.as("a"),
+      Vrl.decodeZlib(garbage).isNull.as("b"),
+      Vrl.decodeZlib(fdict).isNull.as("c"),
+      Vrl.decodeGzip(gzTrunc).isNull.as("d"),
+      Vrl.decodeZstd(garbage).isNull.as("e"),
+      Vrl.decodeSnappy(garbage).isNull.as("f"),
+      Vrl.decodeLz4(garbage).isNull.as("g"))
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].head()
+    assert(got == ((true, true, true, true, true, true, true)))
+  }
 }

@@ -73,4 +73,26 @@ class SketchSpec extends SparkSpec {
     val fp = absent.count(bloom.mightContain).toDouble / absent.size
     assert(fp < 0.06, s"fp rate $fp")
   }
+
+  test("tag_cardinality bloom mode: superset of exact, FPR-bounded overshoot") {
+    import graft.ops.Transforms
+    val e = (0L until 4000L)
+      .map(i => (i, new java.sql.Timestamp(1700000000000L + i * 1000), (i % 97).toString))
+      .toDF("event_id", "ts", "tag")
+    val exact = Transforms.tagCardinalityLimit(e, "tag", col("ts"), 20)
+      .select("event_id").as[Long].collect().toSet
+    val bloom = Transforms.tagCardinalityLimitBloom(e, "tag", col("ts"), 20)
+      .select("event_id").as[Long].collect().toSet
+    // zero false negatives: every exactly-accepted event survives bloom mode
+    assert(exact.subsetOf(bloom))
+    // over-admission only via false positives, bounded: 20 values × 2
+    // hashes ≤ 40 of 64 bits set → per-value FP ≤ (40/64)^2 ≈ 0.39; the
+    // 77 over-limit values admit at most ~that fraction (generous 2× slack)
+    val overValues = bloom.diff(exact).map(_ % 97).size
+    assert(overValues <= 60, s"bloom admitted $overValues extra tag values")
+    // deterministic: same input → same decisions
+    val again = Transforms.tagCardinalityLimitBloom(e, "tag", col("ts"), 20)
+      .select("event_id").as[Long].collect().toSet
+    assert(again == bloom)
+  }
 }
