@@ -83,12 +83,20 @@ object ScaleUpBench {
       val spark = session()
       // warmup: parquet footers + codegen machinery
       scala.util.Try(spark.read.parquet(s"$dir/documents.parquet").count())
+      // SPARK_GRAFT_PASSES=2 (default) warms each query once and times the
+      // best of the remaining passes — the scale-RATIO measure; JIT/codegen
+      // noise would otherwise swamp the 10× comparison
+      val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
       val subset = SparkEntry.queries.toSeq
         .filter { case (n, _) => prefixes.exists(n.startsWith) }.sortBy(_._1)
       val results = subset.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = scala.util.Try(fn(spark, dir).count())
-        name -> (if (ok.isSuccess) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val times = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = scala.util.Try(fn(spark, dir).count())
+          if (ok.isSuccess) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.exists(_ < 0)) -1.0
+                 else if (passes > 1) times.tail.min else times.head)
       }
       val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       println(s"""SCALEUP {"dir":"$dir","total":${results.map(_._2).filter(_ > 0).sum},"queries":$qs}""")

@@ -56,12 +56,13 @@ object Dedupe {
     * explicitly yield an empty shingle set.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.words(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          j => concat_ws(" ", slice(toks, j, lit(n)))))
-        .otherwise(array()))
+    // native single-pass expression (codegen'd byte-slice windows) — the
+    // HOF formulation array_distinct(transform(sequence(...), slice+concat))
+    // interprets its lambdas per element and was the hottest atom of the
+    // minhash/curation plans; semantics identical (WordShinglesSpec pins
+    // the equivalence, the DuckDB oracles re-derive shingles in SQL)
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.WordShingles(Bridge.expression(text), n))
   }
 
   /** MinHash signature: k permutation-minima over the 31-bit shingle

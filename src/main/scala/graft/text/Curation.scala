@@ -38,13 +38,20 @@ object Curation {
     */
   def gateSignals(docs: DataFrame, text: Column, id: Column,
                   bench: DataFrame, benchText: Column, n: Int = 3): DataFrame = {
-    val tk = TextOps.words(text)
     val bsh = bench.select(explode(Dedupe.shingles(benchText, n)).as("_bg")).distinct()
       .withColumn("_hit", lit(1L))
+    // Catalyst prunes projections below Generate down to the generator's
+    // required columns, so a pre-explode top_bigram_n would be recomputed
+    // per EXPLODED row (~50× per doc — measured 3s of the 3.5s query at
+    // sf0.1). posexplode + a pos=0 guard evaluates it exactly once per doc
+    // while keeping the single scan.
+    val topOnFirst = when(coalesce(col("pos"), lit(0)) === 0,
+      Bridge.column(TopBigramCount(Bridge.expression(TextOps.words(col("_t"))))))
+      .otherwise(0L)
     docs
-      .select(id.as("doc_id"),
-        Bridge.column(TopBigramCount(Bridge.expression(tk))).as("top_bigram_n"),
-        explode_outer(Dedupe.shingles(text, n)).as("g"))
+      .select(id.as("doc_id"), text.as("_t"),
+        posexplode_outer(Dedupe.shingles(text, n)))
+      .select(col("doc_id"), topOnFirst.as("top_bigram_n"), col("col").as("g"))
       .join(broadcast(bsh), col("g") === col("_bg"), "left")
       .groupBy(col("doc_id"))
       .agg(

@@ -46,23 +46,26 @@ object TextOps {
   /** Count of tokens present in `profile` (duplicates counted — ratio
     * semantics of a real stopword scorer).
     */
-  def stopwordHits(toks: Column, profile: Seq[String]): Column =
-    size(filter(toks, t => profile.map(t === _).reduce(_ || _)))
+  def stopwordHits(toks: Column, profile: Seq[String]): Column = {
+    // native hash-set membership count — the filter-HOF formulation
+    // (size(filter(toks, 8..40-way OR))) interprets its lambda per token
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.StopwordHits(Bridge.expression(toks), profile))
+  }
 
   /** Language-ID: argmax of per-language stopword hit counts; ties broken
     * by language code ascending; all-zero → "und" (undetermined, BCP-47).
     */
   def langId(text: Column): Column = {
-    val toks = words(text)
-    val scored = StopwordProfiles.map { case (lang, prof) =>
-      (lang, stopwordHits(toks, prof))
-    }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    // first (alphabetical) language reaching the max — deterministic argmax
-    val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lang).otherwise(acc)
-    }
-    pick
+    // native one-pass argmax (word → language bitmask, first-max
+    // tie-break in alphabetical profile order, all-zero → "und"): the
+    // when-chain + greatest() column formulation re-embedded every
+    // per-language interpreted filter in EVERY branch — ~30 interpreted
+    // HOFs per row after Catalyst expansion, the hot atom of the curation
+    // plans at sf0.1
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.LangIdExpr(
+      Bridge.expression(words(text)), StopwordProfiles))
   }
 
   /** Quality-score components + composite, mirroring common training-data
@@ -72,7 +75,9 @@ object TextOps {
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val toks = words(text)
     val nW = size(toks).cast("double")
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    // algebraic identity, no per-token fold: split-by-one-space means
+    // sum(length(token)) == length(text) - (n_tokens - 1) exactly
+    val sumLen = (length(text) - (size(toks) - 1)).cast("double")
     val stop = stopwordHits(toks, StopwordProfiles.flatMap(_._2)).cast("double")
     val nonAlnum = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
     Seq(
