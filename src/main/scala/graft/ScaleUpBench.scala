@@ -102,8 +102,28 @@ object ScaleUpBench {
       println(s"""SCALEUP {"dir":"$dir","total":${results.map(_._2).filter(_ > 0).sum},"queries":$qs}""")
       spark.stop()
 
+    case "--neardup" :: dir :: bandBits :: Nil =>
+      // simhash near-dup + survivor selection at a given LSH band width —
+      // the scale lever measurement (8-bit bands blow up quadratically at
+      // 50k docs; see Dedupe.simhashNearDups scaladoc)
+      val spark = session()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.dedup.Dedupe.simhashNearDups(
+        docs, col("text"), col("doc_id"), maxDist = 3, bandBits = bandBits.toInt)
+      val nPairs = pairs.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val survivors = graft.dedup.Dedupe.dedupeByPairs(
+        docs, col("doc_id"), pairs).count()
+      val tDedupe = (System.nanoTime() - t1) / 1e9
+      println(s"""NEARDUP {"dir":"$dir","band_bits":$bandBits,"pairs":$nPairs,""" +
+        s""""pairs_secs":$tPairs,"survivors":$survivors,"dedupe_secs":$tDedupe}""")
+      spark.stop()
+
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits (got $other)")
       sys.exit(2)
   }
 }

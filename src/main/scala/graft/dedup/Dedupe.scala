@@ -287,11 +287,16 @@ object Dedupe {
   }
 
   /** Scalable SimHash table `(id, sim)`: explode distinct tokens, hash each
-    * ONCE, 32 conditional-sum aggregates (map-side combinable), recombine
-    * bits. Same result as [[simhash32]] without the k-fold md5 recompute.
+    * ONCE, `bits` conditional-sum aggregates (map-side combinable),
+    * recombine bits. Same result at bits=32 as [[simhash32]] without the
+    * k-fold md5 recompute. `bits` ≤ 60 (the h15 hash width); wider
+    * signatures exist to widen the LSH bands at large corpus sizes — see
+    * [[simhashNearDups]].
     */
-  def simhashTable(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val votes = (0 until 32).map { j =>
+  def simhashTable(df: DataFrame, text: Column, id: Column,
+                   bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 60, "simhash bits must be in 1..60 (h15 width)")
+    val votes = (0 until bits).map { j =>
       sum(when(col("h").isNull, 0L)
         .when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$j")
@@ -301,20 +306,33 @@ object Dedupe {
       .groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        (0 until 32).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until bits).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via a
-    * 4×8-bit band join (pigeonhole: dist ≤ 3 ⇒ ≥ 1 of 4 bands equal —
-    * exact, not probabilistic, for maxDist ≤ 3).
+    * 4-band join (pigeonhole: dist ≤ 3 ⇒ ≥ 1 of 4 bands equal — exact,
+    * not probabilistic, for maxDist ≤ 3).
+    *
+    * SCALE LEVER — `bandBits`: band-bucket count is 2^bandBits per band,
+    * and candidate pairs grow with the SQUARE of the mean bucket size
+    * (≈ corpus / 2^bandBits). The 8-bit default (1024 buckets) is right
+    * for ~10^3–10^4 docs; measured at 50 000 synthetic docs it blows past
+    * 15 minutes of quadratic pair generation, while bandBits=15
+    * (signature bits=60) finishes in seconds. Pick
+    * `bandBits ≳ log2(corpus) − 5` so buckets stay ~tens of docs; at
+    * 10^12 docs that points at ~35-bit bands, i.e. partition the corpus
+    * (by source/shard) before simhash banding — documented in BENCH.md.
     */
   def simhashNearDups(df: DataFrame, text: Column, id: Column,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, bandBits: Int = 8): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole covers dist<=3")
-    val sigs = simhashTable(df, text, id)
+    require(bandBits >= 1 && bandBits <= 15, "4 bands need 4*bandBits <= 60")
+    val bits = 4 * bandBits
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashTable(df, text, id, bits)
     val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L)).as("band_hash"))
+      struct(lit(b).as("band"), shiftright(col("sim"), bandBits * b).bitwiseAND(lit(mask)).as("band_hash"))
     }
     val bandsDf = sigs.select(col("id"), col("sim"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))

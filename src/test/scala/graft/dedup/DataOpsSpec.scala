@@ -79,6 +79,31 @@ class DataOpsSpec extends SparkSpec {
     assert(viaBands == brute)
   }
 
+  test("simhash wide bands (scale lever): pigeonhole still exact at bandBits=15") {
+    // same exhaustiveness property at the 60-bit signature width used when
+    // the corpus outgrows 8-bit band buckets (BENCH.md round-4 measurement)
+    val words = base.split(" ")
+    val mutated = (0 until 40).map { i =>
+      val w = words.clone(); w(i % w.length) = s"mut$i"
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaBands = Dedupe.simhashNearDups(mutated, col("text"), col("doc_id"),
+      maxDist = 3, bandBits = 15)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val sims = Dedupe.simhashTable(mutated, col("text"), col("doc_id"), bits = 60)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(viaBands == brute)
+    // identical docs still collide at every width; the wider signature is a
+    // strictly finer criterion (fewer-or-equal pairs than 32-bit)
+    val narrow = Dedupe.simhashNearDups(mutated, col("text"), col("doc_id"),
+      maxDist = 3).select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(viaBands.size <= narrow.size)
+  }
+
   // ---------- embeddings ----------
 
   /** Deterministic pseudo-random unit-ish vectors (hash-based, no Random). */
