@@ -19,6 +19,8 @@ object Bench {
     // it the map's FIRST query absorbs all JVM/session init in its timing
     scala.util.Try {
       spark.read.parquet(s"$sfDir/events.parquet").count()
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
       spark.range(0, 1000000).selectExpr("sum(id)").collect()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

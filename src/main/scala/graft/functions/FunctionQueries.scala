@@ -480,6 +480,22 @@ object FunctionQueries {
         V.ipv6ToIpv4(lit("2001:db8::1")).as("not_mapped"))
     }),
 
+    // ---- wave-5: parse_ruby_hash + parse_influxdb line protocol ----
+    "f_parse_wave5" -> ((s, dir) => {
+      val ruby = concat(lit("{\"ev\" => \""), col("event_type"),
+        lit("\", \"n\" => "), col("user_id"), lit("}"))
+      val influx = concat(lit("cpu,host=h"), (col("user_id") % 5).cast("string"),
+        lit(",region=eu usage="), col("value"), lit(",idle=0.25 "),
+        (col("event_id") * 1000000L + 100L).cast("string"))
+      ev(s, dir).select(col("event_id"),
+        get_json_object(V.rubyHashToJson(ruby), "$.ev").as("rb_ev"),
+        get_json_object(V.rubyHashToJson(ruby), "$.n").cast("long").as("rb_n"),
+        V.parseInfluxMeasurement(influx).as("ix_m"),
+        element_at(V.parseInfluxTags(influx), "host").as("ix_host"),
+        element_at(V.parseInfluxFields(influx), "usage").cast("double").as("ix_usage"),
+        V.parseInfluxTimestamp(influx).as("ix_ts"))
+    }),
+
     // ---- encode_punycode / decode_punycode (native IDN expression) ----
     "f_punycode" -> ((s, dir) => {
       val dom = element_at(array(PunyDomains.map(lit): _*),
@@ -680,6 +696,16 @@ object FunctionQueries {
          | CAST(NULL AS VARCHAR) AS not_mapped
          |FROM events""".stripMargin
     },
+
+    "f_parse_wave5" ->
+      """SELECT event_id,
+        | event_type AS rb_ev,
+        | user_id AS rb_n,
+        | 'cpu' AS ix_m,
+        | 'h' || (user_id % 5) AS ix_host,
+        | value AS ix_usage,
+        | (event_id * 1000000 + 100) AS ix_ts
+        |FROM events""".stripMargin,
 
     "f_punycode" -> {
       def pick(vals: Seq[String]): String =

@@ -334,6 +334,27 @@ object Vrl {
       lit("-"), substring(h, 7, 12))
   }
 
+  /** VRL `parse_ruby_hash` (parse_ruby_hash.cue): a string-keyed Ruby hash
+    * literal `{"k" => v, ...}` rewritten to JSON (`"k" => ` → `"k": `), so
+    * the JSON accessors take over — the reference parses into the same
+    * object model.
+    */
+  def rubyHashToJson(c: Column): Column =
+    regexp_replace(c, "\"\\s*=>\\s*", "\": ")
+
+  /** VRL `parse_influxdb` (parse_influxdb.cue) — InfluxDB line protocol
+    * `measurement,tag=v,... field=v,... timestamp`. Tag/field sets come
+    * back as maps; the timestamp is epoch nanoseconds.
+    */
+  def parseInfluxMeasurement(c: Column): Column =
+    regexp_extract(c, "^([^,\\s]+)", 1)
+  def parseInfluxTags(c: Column): Column =
+    str_to_map(regexp_extract(c, "^[^,\\s]+,([^ ]*)", 1), lit(","), lit("="))
+  def parseInfluxFields(c: Column): Column =
+    str_to_map(regexp_extract(c, "^[^ ]+ ([^ ]+)", 1), lit(","), lit("="))
+  def parseInfluxTimestamp(c: Column): Column =
+    nullif(regexp_extract(c, " (\\d+)$", 1), lit("")).cast("long")
+
   /** Fixed-schema avro binary encode/decode over the classpath avro core
     * (lib/codecs/src/decoding/format/avro.rs) — see [[AvroEncode]]/
     * [[AvroDecode]]. Decode is fallible → NULL struct on malformed datums.
