@@ -135,6 +135,72 @@ object StreamOps {
       }
   }
 
+  final case class SessEvent(key: String, ts: java.sql.Timestamp,
+                             value: Double, ends: Boolean)
+  final case class SessState(n: Long, firstMs: Long, lastMs: Long, sumV: Double)
+  final case class Session(key: String, n: Long, first_ts: java.sql.Timestamp,
+                           last_ts: java.sql.Timestamp, sum_v: Double)
+
+  /** STREAMING `reduce` with `ends_when` sessions (reference:
+    * src/transforms/reduce/config.rs:45-57 + `expire_after_ms` —
+    * merge consecutive per-key events until the closer matches, which
+    * joins its session; stale open sessions flush after the expiry gap).
+    * The streaming face of [[graft.ops.Transforms.reduceSessionsEndsWhen]]:
+    * same session aggregate `(n, first_ts, last_ts, sum_v)`, emitted when
+    * the closer arrives or when the watermark passes `expireMs` beyond the
+    * session's last event (event-time timeout → state is O(open sessions),
+    * the reference's periodic flush).
+    *
+    * Caller must `withWatermark` the source; rows process in event-time
+    * order per micro-batch (ordered-input fast path, sort only on detected
+    * disorder — same memory note as [[throttleStream]]).
+    */
+  def reduceSessionsStream(ds: Dataset[SessEvent],
+                           expireMs: Long): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    def emit(key: String, st: SessState): Session =
+      Session(key, st.n, new java.sql.Timestamp(st.firstMs),
+        new java.sql.Timestamp(st.lastMs), math.rint(st.sumV * 100) / 100)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st => emit(key, st))
+            state.remove()
+            out.iterator
+          } else {
+            val buf = new scala.collection.mutable.ArrayBuffer[SessEvent]()
+            var ordered = true
+            var prevTs = Long.MinValue
+            rows.foreach { r =>
+              val t = r.ts.getTime
+              if (t < prevTs) ordered = false
+              prevTs = t
+              buf += r
+            }
+            val rs = if (ordered) buf else buf.sortInPlace()(Ordering.by(_.ts.getTime))
+            val out = new scala.collection.mutable.ArrayBuffer[Session]()
+            var st = state.getOption.orNull
+            rs.foreach { r =>
+              val t = r.ts.getTime
+              st =
+                if (st == null) SessState(1L, t, t, r.value)
+                else SessState(st.n + 1, math.min(st.firstMs, t),
+                  math.max(st.lastMs, t), st.sumV + r.value)
+              if (r.ends) { out += emit(key, st); st = null }
+            }
+            if (st == null) state.remove()
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastMs + expireMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Exactly-once streaming sink into a [[graft.table.SnapshotTable]]:
     * `foreachBatch` with the micro-batch id as the commit jobId — a
     * replayed batch (failure/restart) hits the idempotent-commit guard and

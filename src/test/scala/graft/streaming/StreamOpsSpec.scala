@@ -89,6 +89,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.filter(_.key == "a").map(_.payload).sorted.toSeq == Seq("a1", "a2", "a3"))
   }
 
+  test("streaming reduce sessions: closer joins its session; expiry flushes open ones") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val out = reduceSessionsStream(
+      in.toDS().withWatermark("ts", "2 seconds").as[SessEvent], expireMs = 3000L)
+    val q = out.toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // key a: [1,2,3-closer] then [4,5] left open; key b: [1-closer]
+      in.addData(
+        SessEvent("a", ts(1), 1.0, ends = false),
+        SessEvent("a", ts(2), 2.0, ends = false),
+        SessEvent("a", ts(3), 3.0, ends = true),
+        SessEvent("a", ts(4), 4.0, ends = false),
+        SessEvent("a", ts(5), 5.0, ends = false),
+        SessEvent("b", ts(1), 9.0, ends = true))
+      q.processAllAvailable()
+      val first = spark.table("sess").as[Session].collect()
+      // closers emit immediately; the open session is held in state
+      assert(first.map(s => (s.key, s.n, s.sum_v)).toSet ==
+        Set(("a", 3L, 6.0), ("b", 1L, 9.0)), first.mkString(","))
+      // advance the watermark far past last(open session) + expire
+      in.addData(SessEvent("c", ts(60), 0.0, ends = true))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[Session].collect()
+      assert(all.map(s => (s.key, s.n, s.sum_v)).toSet ==
+        Set(("a", 3L, 6.0), ("b", 1L, 9.0), ("a", 2L, 9.0), ("c", 1L, 0.0)),
+        all.mkString(","))
+      // the flushed open session carries its event-time span
+      val flushed = all.find(s => s.key == "a" && s.n == 2).get
+      assert(flushed.first_ts == ts(4) && flushed.last_ts == ts(5))
+    } finally q.stop()
+  }
+
   test("streaming exactly-once sink: replayed batch writes nothing twice") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("streamsink").toString
