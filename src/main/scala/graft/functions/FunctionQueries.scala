@@ -496,6 +496,77 @@ object FunctionQueries {
         V.parseInfluxTimestamp(influx).as("ix_ts"))
     }),
 
+    // ---- wave-6: parse_apache_log (combined + error), parse_aws_alb_log,
+    //      parse_regex_all, pascalcase / screamingsnakecase,
+    //      parse_aws_cloudwatch_log_subscription_message ----
+    "f_parse_wave6" -> ((s, dir) => {
+      import graft.parse.Grok
+      val e = ev(s, dir)
+      val stat = (lit(200) + (col("event_id") % 4) * 100).cast("long")
+      val sz = (col("event_id") % 5000).cast("long")
+      val apache = concat(
+        lit("10."), col("user_id") % 200, lit(".0."), col("event_id") % 250,
+        lit(" - user"), col("user_id"),
+        lit(" [10/Oct/2000:13:55:36 -0700] \"GET /page/"),
+        col("event_id") % 50, lit(" HTTP/1.1\" "), stat, lit(" "), sz,
+        lit(" \"http://ref.example/"), col("user_id") % 7,
+        lit("\" \"agent-"), col("user_id") % 9, lit("\""))
+      val alb = concat(
+        lit("http 2018-11-30T22:23:00.186641Z app/lb/1 192.168."),
+        col("user_id") % 200, lit("."), col("event_id") % 250,
+        lit(":2817 - 0.000 0.001 0.000 "), stat, lit(" "), stat, lit(" "),
+        col("event_id") % 900 + 34, lit(" "), col("event_id") % 4000 + 366,
+        lit(" \"GET http://www.example.com:80/p"), col("event_id") % 10,
+        lit(" HTTP/1.1\" \"curl/7.46.0\" - - arn:tg \"Root=1-"), col("event_id"),
+        lit("\" \"-\" \"-\" 0 2018-11-30T22:22:48.364000Z \"forward\" \"-\" \"-\""))
+      val errLine = concat(
+        lit("[Fri Sep 09 10:42:29.902022 2011] [core:error] [pid "),
+        col("user_id"), lit(":tid "), col("event_id") % 100000,
+        lit("] [client 72.15.99."), col("event_id") % 200, lit(":"),
+        col("event_id") % 30000 + 1024, lit("] File does not exist: /x/"),
+        col("event_id") % 10)
+      val keep = Seq("event_id", "user_id", "event_type", "_apache", "_alb", "_err")
+      val base = e.select(col("event_id"), col("user_id"), col("event_type"),
+        apache.as("_apache"), alb.as("_alb"), errLine.as("_err"))
+      val withAp = Grok.parseApacheLog(base, col("_apache"))
+        .select(keep.map(col) ++ Seq(
+          col("host").as("ap_host"), col("user").as("ap_user"),
+          col("method").as("ap_method"), col("path").as("ap_path"),
+          col("status").as("ap_status"), col("size").as("ap_size"),
+          col("referrer").as("ap_ref"), col("agent").as("ap_agent")): _*)
+      val apCols = Seq("ap_host", "ap_user", "ap_method", "ap_path",
+        "ap_status", "ap_size", "ap_ref", "ap_agent")
+      val withAlb = Grok.parseAwsAlbLog(withAp, col("_alb"))
+        .select((keep ++ apCols).map(col) ++ Seq(
+          col("type").as("alb_type"), col("elb_status_code").as("alb_status"),
+          col("received_bytes").as("alb_rb"),
+          col("request_method").as("alb_method"),
+          col("request_url").as("alb_url"), col("user_agent").as("alb_agent"),
+          col("target_host").isNull.as("alb_target_null"),
+          col("request_processing_time").as("alb_rpt")): _*)
+      val albCols = Seq("alb_type", "alb_status", "alb_rb", "alb_method",
+        "alb_url", "alb_agent", "alb_target_null", "alb_rpt")
+      val cw = V.parseCloudwatchSubscription(concat(
+        lit("{\"messageType\":\"DATA_MESSAGE\",\"owner\":\"123\",\"logGroup\":\"g"),
+        col("user_id") % 5,
+        lit("\",\"logStream\":\"s\",\"subscriptionFilters\":[\"f\"],\"logEvents\":[{\"id\":\""),
+        col("event_id"), lit("\",\"timestamp\":"), col("event_id") * 1000,
+        lit(",\"message\":\"m"), col("event_id"), lit("\"}]}")))
+      val ev1 = element_at(cw.getField("logEvents"), 1)
+      Grok.parseApacheLog(withAlb, col("_err"), "error")
+        .select((Seq("event_id") ++ apCols ++ albCols).map(col) ++ Seq(
+          col("module").as("er_module"), col("severity").as("er_sev"),
+          col("pid").as("er_pid"), col("client").as("er_client"),
+          col("message").as("er_msg"),
+          V.pascalcase(concat(col("event_type"), lit("_main_page"))).as("pascal"),
+          V.screamingsnakecase(concat(col("event_type"), lit("-main page"))).as("scream"),
+          array_join(V.parseRegexAll(col("_apache"), "\\d+"), ",").as("all_nums"),
+          cw.getField("logGroup").as("cw_group"),
+          ev1.getField("message").as("cw_msg"),
+          ev1.getField("timestamp").as("cw_ts"),
+          size(cw.getField("logEvents")).cast("long").as("cw_n")): _*)
+    }),
+
     // ---- encode_punycode / decode_punycode (native IDN expression) ----
     "f_punycode" -> ((s, dir) => {
       val dom = element_at(array(PunyDomains.map(lit): _*),
@@ -706,6 +777,51 @@ object FunctionQueries {
         | value AS ix_usage,
         | (event_id * 1000000 + 100) AS ix_ts
         |FROM events""".stripMargin,
+
+    "f_parse_wave6" -> {
+      // single line: this fragment is interpolated into a stripMargin
+      // SQL template — inner newlines would lose one | of each ||
+      val apacheLine =
+        """('10.' || (user_id % 200) || '.0.' || (event_id % 250)""" +
+        """ || ' - user' || user_id || ' [10/Oct/2000:13:55:36 -0700] "GET /page/'""" +
+        """ || (event_id % 50) || ' HTTP/1.1" ' || (200 + (event_id % 4) * 100)""" +
+        """ || ' ' || (event_id % 5000) || ' "http://ref.example/' || (user_id % 7)""" +
+        """ || '" "agent-' || (user_id % 9) || '"')"""
+      s"""SELECT event_id,
+         | '10.' || (user_id % 200) || '.0.' || (event_id % 250) AS ap_host,
+         | 'user' || user_id AS ap_user,
+         | 'GET' AS ap_method,
+         | '/page/' || (event_id % 50) AS ap_path,
+         | CAST(200 + (event_id % 4) * 100 AS BIGINT) AS ap_status,
+         | CAST(event_id % 5000 AS BIGINT) AS ap_size,
+         | 'http://ref.example/' || (user_id % 7) AS ap_ref,
+         | 'agent-' || (user_id % 9) AS ap_agent,
+         | 'http' AS alb_type,
+         | CAST(200 + (event_id % 4) * 100 AS VARCHAR) AS alb_status,
+         | CAST(event_id % 900 + 34 AS BIGINT) AS alb_rb,
+         | 'GET' AS alb_method,
+         | 'http://www.example.com:80/p' || (event_id % 10) AS alb_url,
+         | 'curl/7.46.0' AS alb_agent,
+         | true AS alb_target_null,
+         | CAST(0.0 AS DOUBLE) AS alb_rpt,
+         | 'core' AS er_module,
+         | 'error' AS er_sev,
+         | CAST(user_id AS BIGINT) AS er_pid,
+         | '72.15.99.' || (event_id % 200) AS er_client,
+         | 'File does not exist: /x/' || (event_id % 10) AS er_msg,
+         | CASE event_type WHEN 'click' THEN 'ClickMainPage'
+         |   WHEN 'error' THEN 'ErrorMainPage'
+         |   WHEN 'purchase' THEN 'PurchaseMainPage'
+         |   WHEN 'signup' THEN 'SignupMainPage'
+         |   ELSE 'ViewMainPage' END AS pascal,
+         | upper(event_type) || '_MAIN_PAGE' AS scream,
+         | array_to_string(regexp_extract_all($apacheLine, '\\d+'), ',') AS all_nums,
+         | 'g' || (user_id % 5) AS cw_group,
+         | 'm' || event_id AS cw_msg,
+         | CAST(event_id * 1000 AS BIGINT) AS cw_ts,
+         | CAST(1 AS BIGINT) AS cw_n
+         |FROM events""".stripMargin
+    },
 
     "f_punycode" -> {
       def pick(vals: Seq[String]): String =

@@ -120,6 +120,12 @@ object Vrl {
     concat(element_at(parts, 1),
       array_join(transform(slice(parts, 2, 10000), w => initcap(w)), ""))
   }
+  /** `pascalcase` (pascalcase.cue): every word capitalized, no separators. */
+  def pascalcase(c: Column): Column =
+    regexp_replace(initcap(regexp_replace(lower(c), "[_-]", " ")), " ", "")
+  /** `screamingsnakecase` (screamingsnakecase.cue). */
+  def screamingsnakecase(c: Column): Column =
+    upper(regexp_replace(c, "[ -]", "_"))
 
   // ---------------- codec / hash ----------------
 
@@ -302,6 +308,27 @@ object Vrl {
     */
   def parseTokens(c: Column): Column =
     regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|[^\\s]+"), lit(0))
+
+  // ---------------- wave-6 long tail ----------------
+
+  /** VRL `parse_regex_all` (parse_regex_all.cue): every match of the
+    * pattern, one array element per match; `group` selects a capture
+    * (0 = whole match). Spark's codegen'd `regexp_extract_all`.
+    */
+  def parseRegexAll(c: Column, re: String, group: Int = 0): Column =
+    regexp_extract_all(c, lit(re), lit(group))
+
+  /** VRL `parse_aws_cloudwatch_log_subscription_message`
+    * (parse_aws_cloudwatch_log_subscription_message.cue): the fixed JSON
+    * envelope CloudWatch Logs delivers to subscriptions — `from_json` with
+    * the published schema (messageType/owner/logGroup/logStream/
+    * subscriptionFilters/logEvents[{id,timestamp,message}]).
+    */
+  def parseCloudwatchSubscription(c: Column): Column =
+    from_json(c, org.apache.spark.sql.types.DataType.fromDDL(
+      "messageType STRING, owner STRING, logGroup STRING, logStream STRING, " +
+        "subscriptionFilters ARRAY<STRING>, " +
+        "logEvents ARRAY<STRUCT<id: STRING, timestamp: BIGINT, message: STRING>>"))
 
   /** Seeded deterministic UUID v4 (uuid_v4.cue is random; pipelines that
     * must be REPLAY-STABLE derive the 122 random bits from a seed column

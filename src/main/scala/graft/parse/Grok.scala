@@ -85,6 +85,73 @@ object Grok {
   def parseLinuxAuthorization(df: DataFrame, src: Column): DataFrame =
     parse(df, src, LinuxAuthGrok)
 
+  /** VRL `parse_apache_log` (parse_apache_log.cue) — `common` is the CLF
+    * shape with the reference's field names (`host`/`identity`/`user`/
+    * `message` split into method+path+protocol), `combined` appends quoted
+    * referrer and agent, `error` is the error-log line
+    * `[ts] [module:severity] [pid N:tid M] [client ip:port] message`.
+    * VRL `parse_klog` is the glog line format under a different entry
+    * point (parse_klog.cue's example IS a glog line) — covered by the
+    * existing `f_parse_glog` family.
+    */
+  val ApacheCommonPattern: String =
+    "%{IP:host} %{NOTSPACE:identity} %{NOTSPACE:user} [%{HTTPDATE:ts_str}] " +
+      "\"%{HTTPMETHOD:method} %{NOTSPACE:path} %{NOTSPACE:protocol}\" " +
+      "%{INT:status:int} %{INT:size:int}"
+  val ApacheCombinedPattern: String =
+    ApacheCommonPattern + " \"%{DATA:referrer}\" \"%{DATA:agent}\""
+  val ApacheErrorPattern: String =
+    "[%{DATA:ts_str}] [%{WORD:module}:%{LOGLEVEL:severity}] " +
+      "[pid %{POSINT:pid:int}:tid %{POSINT:tid:int}] " +
+      "[client %{IP:client}:%{POSINT:port:int}] %{GREEDYDATA:message}"
+  lazy val ApacheCommonGrok: Compiled = compile(ApacheCommonPattern)
+  lazy val ApacheCombinedGrok: Compiled = compile(ApacheCombinedPattern)
+  lazy val ApacheErrorGrok: Compiled = compile(ApacheErrorPattern)
+  def parseApacheLog(df: DataFrame, src: Column,
+                     format: String = "combined"): DataFrame = format match {
+    case "common"   => parse(df, src, ApacheCommonGrok)
+    case "combined" => parse(df, src, ApacheCombinedGrok)
+    case "error"    => parse(df, src, ApacheErrorGrok)
+    case other => throw new IllegalArgumentException(
+      s"parse_apache_log format must be common/combined/error, got $other")
+  }
+
+  /** VRL `parse_aws_alb_log` (parse_aws_alb_log.cue) — the 29-field ELB
+    * access-log line. Dash fields become NULL (the reference's `-` → null
+    * convention); the quoted `request` splits into
+    * `request_method`/`request_url`/`request_protocol` like the reference
+    * output shape. One regex pass; nullification and the split are cheap
+    * codegen'd column ops on top.
+    */
+  val AwsAlbPattern: String =
+    "%{NOTSPACE:type} %{NOTSPACE:timestamp} %{NOTSPACE:elb} " +
+      "%{NOTSPACE:client_host} %{NOTSPACE:target_host} " +
+      "%{NUMBER:request_processing_time:double} " +
+      "%{NUMBER:target_processing_time:double} " +
+      "%{NUMBER:response_processing_time:double} " +
+      "%{NOTSPACE:elb_status_code} %{NOTSPACE:target_status_code} " +
+      "%{INT:received_bytes:int} %{INT:sent_bytes:int} \"%{DATA:request}\" " +
+      "\"%{DATA:user_agent}\" %{NOTSPACE:ssl_cipher} %{NOTSPACE:ssl_protocol} " +
+      "%{NOTSPACE:target_group_arn} \"%{DATA:trace_id}\" \"%{DATA:domain_name}\" " +
+      "\"%{DATA:chosen_cert_arn}\" %{NOTSPACE:matched_rule_priority} " +
+      "%{NOTSPACE:request_creation_time} \"%{DATA:actions_executed}\" " +
+      "\"%{DATA:redirect_url}\" \"%{DATA:error_reason}\""
+  lazy val AwsAlbGrok: Compiled = compile(AwsAlbPattern)
+  private val AlbDashNullFields = Seq("target_host", "ssl_cipher",
+    "ssl_protocol", "domain_name", "chosen_cert_arn", "redirect_url",
+    "error_reason")
+  def parseAwsAlbLog(df: DataFrame, src: Column): DataFrame = {
+    val parsed = parse(df, src, AwsAlbGrok)
+    val dashed = AlbDashNullFields.foldLeft(parsed) { (d, f) =>
+      d.withColumn(f, when(col(f) === "-", lit(null)).otherwise(col(f)))
+    }
+    dashed
+      .withColumn("request_method", split(col("request"), " ").getItem(0))
+      .withColumn("request_url", split(col("request"), " ").getItem(1))
+      .withColumn("request_protocol", split(col("request"), " ").getItem(2))
+      .drop("request")
+  }
+
   /** One extracted field: name, 1-based capture group, SQL cast type (or null). */
   final case class Field(name: String, group: Int, castTo: Option[String])
 
