@@ -567,6 +567,28 @@ object FunctionQueries {
           size(cw.getField("logEvents")).cast("long").as("cw_n")): _*)
     }),
 
+    // ---- wave-6 codecs: seahash, decode_mime_q, encode/decode_charset,
+    //      encrypt_ip/decrypt_ip (ipcrypt aes128 + pfx) ----
+    "f_codec_wave6" -> ((s, dir) => {
+      val t = col("event_type")
+      val dynIp = concat(lit("10."), col("user_id") % 200, lit("."),
+        col("event_id") % 250, lit(".7"))
+      val mime = element_at(array(MimeInputs.map(lit): _*),
+        (pmod(col("event_id"), lit(MimeInputs.length)) + 1).cast("int"))
+      val ipPick = element_at(array(CryptIps.map(lit): _*),
+        (pmod(col("event_id"), lit(CryptIps.length)) + 1).cast("int"))
+      ev(s, dir).select(col("event_id"),
+        V.seahash(t).as("sea_t"),
+        V.seahash(concat(lit("u"), col("user_id") % 7)).as("sea_u"),
+        V.decodeMimeQ(mime).as("mime_dec"),
+        (V.decodeCharset(V.encodeCharset(t, "euc-kr"), "euc-kr") === t).as("cs_rt"),
+        (base64(V.encodeCharset(lit("안녕하세요"), "euc-kr"))
+          === lit("vsiz58fPvLy/5A==")).as("cs_vec"),
+        V.encryptIp(ipPick, CryptoKey, "aes128").as("ip_enc"),
+        (V.decryptIp(V.encryptIp(dynIp, CryptoKey), CryptoKey) === dynIp).as("ip_rt"),
+        (V.decryptIp(V.encryptIp(dynIp, PfxKey, "pfx"), PfxKey, "pfx") === dynIp).as("ip_rt_pfx"))
+    }),
+
     // ---- encode_punycode / decode_punycode (native IDN expression) ----
     "f_punycode" -> ((s, dir) => {
       val dom = element_at(array(PunyDomains.map(lit): _*),
@@ -579,6 +601,19 @@ object FunctionQueries {
 
   /** 16-byte AES-128 key for the f_crypto roundtrip. */
   private val CryptoKey = "0123456789abcdef"
+
+  /** 32-byte ipcrypt-pfx key (two distinct AES-128 halves). */
+  private val PfxKey = "0123456789abcdefFEDCBA9876543210"
+
+  /** decode_mime_q inputs (cue examples + plain passthrough). */
+  private val MimeInputs = Seq(
+    "=?utf-8?b?SGVsbG8sIFdvcmxkIQ==?=",
+    "From: =?utf-8?b?SGVsbG8sIFdvcmxkIQ==?= <=?utf-8?q?hello=5Fworld=40example=2ecom?=>",
+    "?b?SGVsbG8sIFdvcmxkIQ==",
+    "plain text, no encoded words")
+
+  /** encrypt_ip input population (cue vector IPs + extras). */
+  private val CryptIps = Seq("192.168.1.1", "2001:db8::1", "10.20.30.40", "fd00::42")
 
   /** Known-answer inputs; oracle digests come from [[graft.functions.Sha3.hex]]. */
   private val Sha3Words = Seq("alpha", "bravo", "charlie", "delta")
@@ -820,6 +855,29 @@ object FunctionQueries {
          | 'm' || event_id AS cw_msg,
          | CAST(event_id * 1000 AS BIGINT) AS cw_ts,
          | CAST(1 AS BIGINT) AS cw_n
+         |FROM events""".stripMargin
+    },
+
+    "f_codec_wave6" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      def seaCase(key: String, f: String => Long): String =
+        s"(CASE $key " + (key match {
+          case "event_type" => types.map(t => s"WHEN '$t' THEN ${f(t)}")
+          case _ => (0 until 7).map(i => s"WHEN $i THEN ${f(s"u$i")}")
+        }).mkString(" ") + " END)"
+      def pick(n: Int, vals: Seq[String]): String =
+        s"(CASE (event_id % $n) " + vals.zipWithIndex.map { case (v, i) =>
+          s"WHEN $i THEN " + (if (v == null) "NULL" else s"'$v'") }
+          .mkString(" ") + " END)"
+      val mimeExp = MimeInputs.map(Mime.mimeQ)
+      val ipExp = CryptIps.map(IpCrypt(_, CryptoKey, "aes128", enc = true))
+      s"""SELECT event_id,
+         | CAST(${seaCase("event_type", Seahash.of)} AS BIGINT) AS sea_t,
+         | CAST(${seaCase("(user_id % 7)", Seahash.of)} AS BIGINT) AS sea_u,
+         | ${pick(MimeInputs.length, mimeExp)} AS mime_dec,
+         | true AS cs_rt, true AS cs_vec,
+         | ${pick(CryptIps.length, ipExp)} AS ip_enc,
+         | true AS ip_rt, true AS ip_rt_pfx
          |FROM events""".stripMargin
     },
 

@@ -318,6 +318,49 @@ object Vrl {
   def parseRegexAll(c: Column, re: String, group: Int = 0): Column =
     regexp_extract_all(c, lit(re), lit(group))
 
+  /** VRL `seahash` (seahash.cue): the public SeaHash v4 construction as a
+    * native codegen'd [[Seahash]] expression; signed i64 like the
+    * reference (cue vectors verified in HashSpec).
+    */
+  def seahash(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Seahash(Bridge.expression(c)))
+  }
+
+  /** VRL `decode_mime_q` (decode_mime_q.cue): RFC 2047 encoded-words —
+    * native [[DecodeMimeQ]]; NULL on undecodable input.
+    */
+  def decodeMimeQ(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(DecodeMimeQ(Bridge.expression(c)))
+  }
+
+  /** VRL `encode_charset` / `decode_charset` (encode_charset.cue):
+    * UTF-8 ↔ named-charset bytes via JDK `Charset`; NULL on unknown
+    * charset (fallible).
+    */
+  def encodeCharset(c: Column, charset: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(EncodeCharset(Bridge.expression(c), charset))
+  }
+  def decodeCharset(c: Column, charset: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(DecodeCharset(Bridge.expression(c), charset))
+  }
+
+  /** VRL `encrypt_ip` / `decrypt_ip` (encrypt_ip.cue — IPCrypt spec):
+    * `aes128` = ipcrypt-deterministic (16-byte key), `pfx` =
+    * prefix-preserving (32-byte key). Deterministic; NULL on bad input.
+    */
+  def encryptIp(c: Column, key: String, mode: String = "aes128"): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(IpCryptExpr(Bridge.expression(c), key.getBytes("UTF-8"), mode, encrypt = true))
+  }
+  def decryptIp(c: Column, key: String, mode: String = "aes128"): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(IpCryptExpr(Bridge.expression(c), key.getBytes("UTF-8"), mode, encrypt = false))
+  }
+
   /** VRL `parse_aws_cloudwatch_log_subscription_message`
     * (parse_aws_cloudwatch_log_subscription_message.cue): the fixed JSON
     * envelope CloudWatch Logs delivers to subscriptions — `from_json` with
