@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Local subset replica of [[graft.Verify]]: run only the named queries
+  * (comma-separated in args(0)) at sf0.01 into /tmp/w6, dumping their
+  * oracle SQL for `tools/check_verify.py /root/testdata/sf0.01 /tmp/w6`.
+  * Keeps the iterate-on-one-query loop fast (full Verify runs all 103).
+  */
+object VerifySubset {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val names = args(0).split(",")
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/w6/$n")
+      println(s"$n rows=" + spark.read.parquet(s"/tmp/w6/$n").count())
+    }
+    val q = (s: String) => "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/w6/oracle_sql.json"),
+      names.map(n => s"${q(n)}: ${q(graft.SparkEntry.oracleSql(n))}").mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
