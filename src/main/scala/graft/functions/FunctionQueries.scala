@@ -596,8 +596,79 @@ object FunctionQueries {
       ev(s, dir).select(col("event_id"),
         V.encodePunycode(dom).as("ascii"),
         V.decodePunycode(V.encodePunycode(dom)).as("unicode_back"))
+    }),
+
+    // ---- wave-7 VRL long tail: path fns, predicates, format_int,
+    //      encode_key_value, ip_pton/ntop, seeded random_* ----
+    "f_vrl_wave7" -> ((s, dir) => {
+      val path = concat(lit("/var/log/app"), col("user_id") % 5,
+        lit("/part"), col("event_id") % 3, lit("/file"), col("event_id") % 7,
+        lit(".log"))
+      val rel = concat(lit("data/"), col("event_type"), lit(".json"))
+      val ip4 = concat(lit("10."), (col("user_id") % 200).cast("string"),
+        lit(".0."), (col("event_id") % 250).cast("string"))
+      val n = (col("event_id") % 7919) * when(col("event_id") % 2 === 0, -1).otherwise(1)
+      ev(s, dir).select(col("event_id"),
+        V.basenameP(path).as("base"),
+        V.dirnameP(path).as("dir"),
+        V.basenameP(rel).as("rel_base"),
+        V.dirnameP(rel).as("rel_dir"),
+        array_join(V.splitPath(path), "|").as("parts"),
+        V.containsAll(path, Seq("/var", ".log")).as("has_all"),
+        V.matchAny(col("event_type"), Seq("^cl", "^pu")).as("m_any"),
+        V.matchArraySome(split(path, "/"), "^file").as("m_some"),
+        V.formatInt(n, 16).as("hex16"),
+        V.formatInt(n, 2).as("bin2"),
+        V.parseIntRadix(V.formatInt(col("event_id"), 16), 16).as("rt_int"),
+        V.parseFloat(concat((col("event_id") % 100).cast("string"), lit(".25")))
+          .as("pf"),
+        V.toBoolV(element_at(array(lit("true"), lit("NO"), lit("1"), lit("wat")),
+          (pmod(col("event_id"), lit(4)) + 1).cast("int"))).as("tb"),
+        V.decodeBase16(V.encodeBase16(col("event_type"))).as("b16_rt"),
+        V.encodeKeyValue(Seq("ts" -> col("event_id"), "lvl" -> col("event_type"),
+          "msg" -> concat(lit("user "), col("user_id")))).as("kv"),
+        V.ipNtop(V.ipPton(ip4)).as("ip_rt"),
+        V.ipNtop(V.ipPton(lit("2001:db8::7"))).as("ip6_rt"),
+        V.isIpv6(lit("2001:db8::7")).as("is6"),
+        V.isIpv6(ip4).as("is6_v4"),
+        V.randomBoolSeeded(col("event_id")).as("rb"),
+        V.randomIntSeeded(col("event_id"), 10, 20).as("ri"),
+        round(V.randomFloatSeeded(col("event_id"), 0.0, 1.0), 6).as("rf"))
+    }),
+
+    // ---- parse_cbor roundtrip (RFC 8949 from scratch) + unflatten +
+    //      uuid_from_friendly_id + is_json ----
+    "f_cbor" -> ((s, dir) => {
+      val doc = to_json(struct(col("event_id").as("id"),
+        col("event_type").as("ty"), col("value").as("v"),
+        struct((col("user_id") % 50).as("u")).as("nest")))
+      val dec = V.parseCbor(V.encodeCbor(doc))
+      val flatJson = concat(lit("{\"a.b\":"), col("user_id"),
+        lit(",\"a.c\":\""), col("event_type"), lit("\",\"top\":1}"))
+      val fid = element_at(array(FriendlyIds.map(p => lit(p._1)): _*),
+        (pmod(col("event_id"), lit(FriendlyIds.length)) + 1).cast("int"))
+      ev(s, dir).select(col("event_id"),
+        get_json_object(dec, "$.ty").as("c_ty"),
+        get_json_object(dec, "$.v").cast("double").as("c_v"),
+        get_json_object(dec, "$.nest.u").cast("long").as("c_u"),
+        // cue example: a1 65 "field" 65 "value" → {"field":"value"}
+        V.parseCbor(unhex(lit("a1656669656c646576616c7565"))).as("c_cue"),
+        V.parseCbor(unhex(lit("ff"))).isNull.as("c_bad"),
+        V.unflattenJson(flatJson).as("unflat"),
+        V.uuidFromFriendlyId(fid).as("fid_uuid"),
+        V.uuidFromFriendlyId(lit("not valid!")).isNull.as("fid_bad"),
+        V.isJson(doc).as("ij_ok"),
+        V.isJson(concat(lit("{"), col("event_type"))).as("ij_bad"))
     })
   )
+
+  /** Friendly-ID base62 vectors: (friendly, uuid) — first is the cue
+    * example, others independently derived (python int→base62).
+    */
+  private val FriendlyIds = Seq(
+    "3s87yEvnmkiPBMHsj8bwwc" -> "7f41deed-d5e2-8b5e-7a13-ab4ff93cfad2",
+    "Sz97YMvJwe3LtpH1GzyXM" -> "0f5c7a2d-1b3e-4c8a-9f00-123456789abc",
+    "7n42DGM5Tflk9n8mt7Fhc7" -> "ffffffff-ffff-ffff-ffff-ffffffffffff")
 
   /** 16-byte AES-128 key for the f_crypto roundtrip. */
   private val CryptoKey = "0123456789abcdef"
@@ -889,6 +960,59 @@ object FunctionQueries {
       s"""SELECT event_id,
          | ${pick(ascii)} AS ascii,
          | ${pick(ascii.map(Punycode.unicode))} AS unicode_back
+         |FROM events""".stripMargin
+    },
+
+    "f_vrl_wave7" -> {
+      val h = "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT)"
+      val n = "((event_id % 7919) * (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END))"
+      s"""SELECT event_id,
+         | 'file' || (event_id % 7) || '.log' AS base,
+         | '/var/log/app' || (user_id % 5) || '/part' || (event_id % 3) AS dir,
+         | event_type || '.json' AS rel_base,
+         | 'data' AS rel_dir,
+         | '/|var|log|app' || (user_id % 5) || '|part' || (event_id % 3)
+         |   || '|file' || (event_id % 7) || '.log' AS parts,
+         | true AS has_all,
+         | (regexp_matches(event_type, '^cl') OR regexp_matches(event_type, '^pu'))
+         |   AS m_any,
+         | true AS m_some,
+         | (CASE WHEN $n < 0 THEN '-' || printf('%x', -$n)
+         |   ELSE printf('%x', $n) END) AS hex16,
+         | (CASE WHEN $n < 0 THEN '-' || to_base(-$n, 2)
+         |   ELSE to_base($n, 2) END) AS bin2,
+         | event_id AS rt_int,
+         | CAST((event_id % 100) + 0.25 AS DOUBLE) AS pf,
+         | (CASE (event_id % 4) WHEN 0 THEN true WHEN 1 THEN false
+         |   WHEN 2 THEN true ELSE NULL END) AS tb,
+         | event_type AS b16_rt,
+         | 'lvl=' || event_type || ' msg="user ' || user_id || '" ts=' || event_id
+         |   AS kv,
+         | '10.' || (user_id % 200) || '.0.' || (event_id % 250) AS ip_rt,
+         | '2001:db8::7' AS ip6_rt,
+         | true AS is6,
+         | false AS is6_v4,
+         | ($h % 2 = 1) AS rb,
+         | (($h % 10) + 10) AS ri,
+         | round(CAST($h AS DOUBLE) / 1.152921504606847e18, 6) AS rf
+         |FROM events""".stripMargin
+    },
+
+    "f_cbor" -> {
+      val fid = "(CASE (event_id % 3) " + FriendlyIds.zipWithIndex.map {
+        case ((_, uuid), i) => s"WHEN $i THEN '$uuid'" }.mkString(" ") + " END)"
+      s"""SELECT event_id,
+         | event_type AS c_ty,
+         | value AS c_v,
+         | (user_id % 50) AS c_u,
+         | '{"field":"value"}' AS c_cue,
+         | true AS c_bad,
+         | '{"a":{"b":' || user_id || ',"c":"' || event_type || '"},"top":1}'
+         |   AS unflat,
+         | $fid AS fid_uuid,
+         | true AS fid_bad,
+         | true AS ij_ok,
+         | false AS ij_bad
          |FROM events""".stripMargin
     },
 

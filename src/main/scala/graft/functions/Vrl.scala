@@ -565,4 +565,168 @@ object Vrl {
         regexp_extract(host, s"([^.]+\\.$q)$$", 1)).otherwise(acc)
     }
   }
+
+  // ---------------- wave-7 long tail ----------------
+  // path functions, array/string predicates, int formatting, key-value
+  // encode, ip_pton/ntop, seeded random_*, cbor, unflatten
+
+  /** `basename` (basename.cue): final path component, Unix `basename`
+    * rules — trailing separators ignored, `basename("/") == "/"`.
+    */
+  def basenameP(c: Column): Column = {
+    val t = regexp_replace(c, "/+$", "")
+    when(t === "", when(c.startsWith("/"), lit("/")).otherwise(lit("")))
+      .otherwise(regexp_extract(t, "([^/]+)$", 1))
+  }
+
+  /** `dirname` (dirname.cue): path minus its final component, Unix
+    * `dirname` rules (`"."` for bare names, `"/"` for root children).
+    */
+  def dirnameP(c: Column): Column = {
+    val t = regexp_replace(c, "/+$", "")
+    val parent = regexp_replace(t, "/+[^/]+$", "")
+    when(!t.contains("/"), when(c.startsWith("/"), lit("/")).otherwise(lit(".")))
+      .otherwise(when(parent === "", lit("/")).otherwise(parent))
+  }
+
+  /** `split_path` (split_path.cue): path → component array; absolute
+    * paths lead with a `"/"` element (`["/", "home", "user"]`).
+    */
+  def splitPath(c: Column): Column = {
+    val comps = filter(split(c, "/"), x => x =!= "")
+    when(c.startsWith("/"), concat(array(lit("/")), comps)).otherwise(comps)
+  }
+
+  /** `contains_all` (contains_all.cue): string contains every substring. */
+  def containsAll(c: Column, subs: Seq[String]): Column =
+    subs.map(c.contains).reduce(_ && _)
+
+  /** `includes` (includes.cue): array membership. */
+  def includesA(arr: Column, item: Column): Column = array_contains(arr, item)
+
+  /** `match_any` (match_any.cue): string matches at least one pattern. */
+  def matchAny(c: Column, patterns: Seq[String]): Column =
+    patterns.map(c.rlike).reduce(_ || _)
+
+  /** `match_array` (match_array.cue): some / every element matches. */
+  def matchArraySome(arr: Column, re: String): Column =
+    exists(arr, _.rlike(re))
+  def matchArrayAll(arr: Column, re: String): Column =
+    forall(arr, _.rlike(re))
+
+  /** `object_from_array` (object_from_array.cue), pair-of-arrays form. */
+  def objectFromArrays(keys: Column, values: Column): Column =
+    map_from_arrays(keys, values)
+
+  /** `format_int` (format_int.cue): integer → string in the given base,
+    * lowercase digits, sign-prefixed (`format_int!(-42, 16) == "-2a"` —
+    * NOT two's-complement, unlike bare `conv`).
+    */
+  def formatInt(c: Column, base: Int): Column =
+    when(c < 0, concat(lit("-"), lower(conv((-c).cast("string"), 10, base))))
+      .otherwise(lower(conv(c.cast("string"), 10, base)))
+
+  /** `parse_int` with radix (parse_int.cue): string in base → long. */
+  def parseIntRadix(c: Column, base: Int): Column =
+    conv(c, base, 10).cast("long")
+
+  /** `parse_float` (parse_float.cue): fallible string → double. */
+  def parseFloat(c: Column): Column = c.cast("double")
+
+  /** `to_bool` (to_bool.cue) over strings: true/t/yes/y/1 → true,
+    * false/f/no/n/0 → false, anything else null (fallible).
+    */
+  def toBoolV(c: Column): Column = {
+    val l = lower(trim(c))
+    when(l.isin("true", "t", "yes", "y", "1"), lit(true))
+      .when(l.isin("false", "f", "no", "n", "0"), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  /** `decode_base16` (decode_base16.cue) — partner of [[encodeBase16]]. */
+  def decodeBase16(c: Column): Column = unhex(c).cast("string")
+
+  /** `encode_key_value` (encode_key_value.cue): object → delimited
+    * key-value text. Keys sort (VRL objects are ordered maps — the cue
+    * example emits `lvl… msg… ts…` for insertion order ts,msg,lvl);
+    * values containing the field delimiter are double-quoted.
+    */
+  def encodeKeyValue(fields: Seq[(String, Column)], kvDelim: String = "=",
+                     fieldDelim: String = " "): Column =
+    concat_ws(fieldDelim, fields.sortBy(_._1).map { case (k, v) =>
+      val s = v.cast("string")
+      concat(lit(k + kvDelim),
+        when(s.contains(fieldDelim), concat(lit("\""), s, lit("\""))).otherwise(s))
+    }: _*)
+
+  /** `ip_pton` / `ip_ntop` (ip_pton.cue, ip_ntop.cue): native
+    * expressions — text ↔ network-order bytes (4 for v4, 16 for v6).
+    */
+  def ipPton(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(IpPton(Bridge.expression(c)))
+  }
+  def ipNtop(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(IpNtop(Bridge.expression(c)))
+  }
+
+  /** `is_ipv6` (is_ipv6.cue); `is_ipv4` lives in the IP section. */
+  def isIpv6(c: Column): Column = c.contains(":") && ipPton(c).isNotNull
+
+  /** Seeded deterministic `random_bool`/`random_int`/`random_float`
+    * (random_bool.cue etc. are random; replay-stable pipelines derive
+    * the draw from a seed column — same policy as [[uuidV4Seeded]]).
+    * The 15-hex-digit md5 prefix is the shared Spark↔oracle h15 hash.
+    */
+  private def h15(seed: Column): Column =
+    conv(substring(md5(seed.cast("string")), 1, 15), 16, 10).cast("long")
+  def randomBoolSeeded(seed: Column): Column = pmod(h15(seed), lit(2L)) === 1L
+  def randomIntSeeded(seed: Column, min: Long, max: Long): Column =
+    pmod(h15(seed), lit(max - min)) + min // [min, max) per the cue
+  def randomFloatSeeded(seed: Column, min: Double, max: Double): Column =
+    (h15(seed).cast("double") / lit(1.152921504606847e18)) * (max - min) + min // h15/2^60 ∈ [0,1)
+
+  /** `parse_cbor` / the encode roundtrip partner (parse_cbor.cue; RFC
+    * 8949 from scratch — see [[Cbor]]). JSON in/out, fallible → null.
+    */
+  def parseCbor(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CborDecode(Bridge.expression(c)))
+  }
+  def encodeCbor(jsonC: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CborEncode(Bridge.expression(jsonC)))
+  }
+
+  /** `uuid_from_friendly_id` (uuid_from_friendly_id.cue): base62 → UUID. */
+  def uuidFromFriendlyId(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(UuidFromFriendlyId(Bridge.expression(c)))
+  }
+
+  /** `unflatten` (unflatten.cue): dotted-key JSON object → nested. */
+  def unflattenJson(c: Column, separator: String = "."): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(UnflattenJson(Bridge.expression(c), separator))
+  }
+
+  /** `is_json` (is_json.cue): does the string parse as JSON? Via the
+    * CBOR encoder's JSON front-end (null ⇔ unparseable) — total.
+    */
+  def isJson(c: Column): Column = encodeCbor(c).isNotNull
+
+  /** `get_env_var` / `get_hostname` / `get_timezone_name` (driver-side
+    * constants, resolved once at plan time — the reference resolves them
+    * once per event; both are run-constant).
+    */
+  def getEnvVar(name: String): Column =
+    sys.env.get(name).map(lit).getOrElse(lit(null).cast("string"))
+  def getHostname(): Column = lit(java.net.InetAddress.getLocalHost.getHostName)
+  def getTimezoneName(): Column = current_timezone()
+
+  /** `assert_eq` (assert_eq.cue): boolean column for the error lane —
+    * pair with `Remap.abortWhen(!assertEq(...))` for the abort path.
+    */
+  def assertEq(a: Column, b: Column): Column = a === b
 }
