@@ -659,8 +659,42 @@ object FunctionQueries {
         V.uuidFromFriendlyId(lit("not valid!")).isNull.as("fid_bad"),
         V.isJson(doc).as("ij_ok"),
         V.isJson(concat(lit("{"), col("event_type"))).as("ij_bad"))
+    }),
+
+    // ---- parse_proto/encode_proto roundtrip (wire format from scratch) ----
+    "f_proto" -> ((s, dir) => {
+      val doc = to_json(struct(col("event_id").as("id"),
+        col("event_type").as("ty"), col("value").as("v"),
+        array(col("user_id") % 7, col("event_id") % 11).as("flags"),
+        struct((col("user_id") % 50).as("u"),
+          (-col("event_id") % 13).as("z")).as("nest")))
+      val dec = V.parseProto(V.encodeProto(doc, ProtoEvSchema), ProtoEvSchema)
+      ev(s, dir).select(col("event_id"),
+        get_json_object(dec, "$.id").cast("long").as("p_id"),
+        get_json_object(dec, "$.ty").as("p_ty"),
+        get_json_object(dec, "$.v").cast("double").as("p_v"),
+        get_json_object(dec, "$.flags[0]").cast("long").as("p_f0"),
+        get_json_object(dec, "$.flags[1]").cast("long").as("p_f1"),
+        get_json_object(dec, "$.nest.u").cast("long").as("p_u"),
+        get_json_object(dec, "$.nest.z").cast("long").as("p_z"),
+        // docs example: field-1 varint 150 → 08 96 01
+        V.parseProto(unhex(lit("089601")),
+          Seq(ProtoField(1, "a", "int64"))).as("p_docs"),
+        V.parseProto(unhex(lit("08")), ProtoEvSchema).isNull.as("p_bad"))
     })
   )
+
+  /** Proto schema for the f_proto roundtrip: varint + string + double +
+    * repeated + zigzag + nested message.
+    */
+  private val ProtoEvSchema = Seq(
+    ProtoField(1, "id", "int64"),
+    ProtoField(2, "ty", "string"),
+    ProtoField(3, "v", "double"),
+    ProtoField(4, "flags", "int64", repeated = true),
+    ProtoField(5, "nest", "message", message = Seq(
+      ProtoField(1, "u", "int64"),
+      ProtoField(2, "z", "sint64"))))
 
   /** Friendly-ID base62 vectors: (friendly, uuid) — first is the cue
     * example, others independently derived (python int→base62).
@@ -1015,6 +1049,19 @@ object FunctionQueries {
          | false AS ij_bad
          |FROM events""".stripMargin
     },
+
+    "f_proto" ->
+      """SELECT event_id,
+        | event_id AS p_id,
+        | event_type AS p_ty,
+        | value AS p_v,
+        | (user_id % 7) AS p_f0,
+        | (event_id % 11) AS p_f1,
+        | (user_id % 50) AS p_u,
+        | (-event_id % 13) AS p_z,
+        | '{"a":150}' AS p_docs,
+        | true AS p_bad
+        |FROM events""".stripMargin,
 
     "f_parse_kv" ->
       s"""SELECT event_id, $duckLogfmtLine AS line,

@@ -699,6 +699,19 @@ object Vrl {
     Bridge.column(CborEncode(Bridge.expression(jsonC)))
   }
 
+  /** `parse_proto` / `encode_proto` (parse_proto.cue, encode_proto.cue):
+    * schema-driven protobuf wire-format codec built from the public
+    * encoding spec — see [[ProtoWire]]. JSON in/out, fallible → null.
+    */
+  def parseProto(c: Column, schema: Seq[ProtoField]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ProtoDecode(Bridge.expression(c), schema))
+  }
+  def encodeProto(jsonC: Column, schema: Seq[ProtoField]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ProtoEncode(Bridge.expression(jsonC), schema))
+  }
+
   /** `uuid_from_friendly_id` (uuid_from_friendly_id.cue): base62 → UUID. */
   def uuidFromFriendlyId(c: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
