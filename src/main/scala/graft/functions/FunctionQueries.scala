@@ -681,8 +681,52 @@ object FunctionQueries {
         V.parseProto(unhex(lit("089601")),
           Seq(ProtoField(1, "a", "int64"))).as("p_docs"),
         V.parseProto(unhex(lit("08")), ProtoEvSchema).isNull.as("p_bad"))
+    }),
+
+    // ---- wave 8: to_syslog_facility, is_nullish, random_bytes,
+    //      tag_types_externally, validate_json_schema, replace_with ----
+    "f_wave8" -> ((s, dir) => {
+      val code = pmod(col("event_id"), lit(30L))
+      val nullishProbe = when(col("event_id") % 4 === 0, lit(""))
+        .when(col("event_id") % 4 === 1, lit("-"))
+        .when(col("event_id") % 4 === 2, lit(" \n\t "))
+        .otherwise(col("event_type"))
+      val doc = concat(lit("{\"id\":"), col("event_id").cast("string"),
+        lit(",\"ty\":\""), col("event_type"),
+        lit("\",\"nest\":{\"u\":"), col("user_id").cast("string"), lit("}}"))
+      val payload = concat(lit("{\"ty\":\""), col("event_type"),
+        lit("\",\"v\":"), col("user_id").cast("string"), lit("}"))
+      val capWords = V.replaceWith(
+        concat(col("event_type"), lit(" and "), col("event_type")),
+        "\\b(\\w)(\\w*)", (_, caps) => caps(0).toUpperCase + caps(1))
+      val capFirst = V.replaceWith(
+        concat(col("event_type"), lit(" and "), col("event_type")),
+        "\\b(\\w)(\\w*)", (_, caps) => caps(0).toUpperCase + caps(1), count = 1)
+      ev(s, dir).select(col("event_id"),
+        V.toSyslogFacilityName(code).as("w_fac"),
+        V.isNullish(nullishProbe).as("w_nullish"),
+        lower(hex(V.randomBytesSeeded(col("event_id"), 20))).as("w_rand"),
+        V.tagTypesExternally(doc).as("w_tagged"),
+        V.validateJsonSchema(payload, Wave8Schema).as("w_valid"),
+        V.validateJsonSchema(payload, Wave8FmtSchema).as("w_fmt_strict"),
+        V.validateJsonSchema(payload, Wave8FmtSchema,
+          ignoreUnknownFormats = true).as("w_fmt_loose"),
+        V.validateJsonSchema(concat(lit("{"), col("event_type")),
+          Wave8Schema).isNull.as("w_malformed"),
+        capWords.as("w_capwords"),
+        capFirst.as("w_capfirst"))
     })
   )
+
+  /** validate_json_schema subset schemas for f_wave8: the core keywords
+    * plus the cue examples' unknown-`format` strict/loose pair.
+    */
+  private val Wave8Schema =
+    """{"type":"object","required":["ty","v"],
+      |"properties":{"ty":{"type":"string","minLength":5},
+      |"v":{"type":"integer","maximum":500}}}""".stripMargin
+  private val Wave8FmtSchema =
+    """{"type":"object","properties":{"ty":{"type":"string","format":"a-custom-format"}}}""".stripMargin
 
   /** Proto schema for the f_proto roundtrip: varint + string + double +
     * repeated + zigzag + nested message.
@@ -1061,6 +1105,27 @@ object FunctionQueries {
         | (-event_id % 13) AS p_z,
         | '{"a":150}' AS p_docs,
         | true AS p_bad
+        |FROM events""".stripMargin,
+
+    "f_wave8" ->
+      """SELECT event_id,
+        | list_extract(['kern','user','mail','daemon','auth','syslog','lpr',
+        |   'news','uucp','cron','authpriv','ftp','ntp','security','console',
+        |   'solaris-cron','local0','local1','local2','local3','local4',
+        |   'local5','local6','local7'], CAST(event_id % 30 AS INT) + 1) AS w_fac,
+        | (event_id % 4) IN (0, 1, 2) AS w_nullish,
+        | substr(md5(event_id || ':0') || md5(event_id || ':1'), 1, 40) AS w_rand,
+        | '{"id":{"integer":' || event_id || '},"ty":{"string":"' || event_type ||
+        |   '"},"nest":{"u":{"integer":' || user_id || '}}}' AS w_tagged,
+        | (length(event_type) >= 5 AND user_id <= 500) AS w_valid,
+        | false AS w_fmt_strict,
+        | true AS w_fmt_loose,
+        | true AS w_malformed,
+        | upper(substr(event_type, 1, 1)) || substr(event_type, 2) ||
+        |   ' And ' || upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+        |   AS w_capwords,
+        | upper(substr(event_type, 1, 1)) || substr(event_type, 2) ||
+        |   ' and ' || event_type AS w_capfirst
         |FROM events""".stripMargin,
 
     "f_parse_kv" ->

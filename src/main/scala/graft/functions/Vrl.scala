@@ -456,6 +456,19 @@ object Vrl {
   def syslogFacility(pri: Column): Column = (pri / 8).cast("int")
   def syslogSeverityFromPri(pri: Column): Column = pri % 8
 
+  /** `to_syslog_facility` (to_syslog_facility.cue: 4 → "auth"): facility
+    * code → RFC 3164 keyword. Out-of-range → null (fallible in VRL).
+    */
+  def toSyslogFacilityName(code: Column): Column = {
+    val names = Seq("kern", "user", "mail", "daemon", "auth", "syslog",
+      "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp", "security",
+      "console", "solaris-cron", "local0", "local1", "local2", "local3",
+      "local4", "local5", "local6", "local7")
+    // try_element_at: out-of-range → null even under ANSI mode
+    try_element_at(array(names.map(lit): _*),
+      when(code >= 0, code.cast("int") + 1).otherwise(lit(9999)))
+  }
+
   // ---------------- encode_* ----------------
 
   /** `encode_logfmt` for given (key, column) pairs. */
@@ -687,6 +700,25 @@ object Vrl {
   def randomFloatSeeded(seed: Column, min: Double, max: Double): Column =
     (h15(seed).cast("double") / lit(1.152921504606847e18)) * (max - min) + min // h15/2^60 ∈ [0,1)
 
+  /** `random_bytes` (random_bytes.cue), seeded-deterministic like the
+    * other random_* ports: an md5 counter-mode chain over the seed gives
+    * 16 bytes per block; slice to n (≤ 64 keeps it to 4 blocks).
+    */
+  def randomBytesSeeded(seed: Column, n: Int): Column = {
+    require(n >= 1 && n <= 64, s"random_bytes length $n outside 1..64")
+    val blocks = (0 until (n + 15) / 16)
+      .map(i => unhex(md5(concat(seed.cast("string"), lit(":" + i)))))
+    substring(concat(blocks: _*), 1, n)
+  }
+
+  /** `is_nullish` (is_nullish.cue): null, "", whitespace-only (incl.
+    * \n/\t — Spark's `trim` only strips spaces, so regex), or exactly "-".
+    */
+  def isNullish(c: Column): Column = {
+    val s = c.cast("string")
+    c.isNull || s.rlike("^\\s*$") || s === "-"
+  }
+
   /** `parse_cbor` / the encode roundtrip partner (parse_cbor.cue; RFC
     * 8949 from scratch — see [[Cbor]]). JSON in/out, fallible → null.
     */
@@ -710,6 +742,32 @@ object Vrl {
   def encodeProto(jsonC: Column, schema: Seq[ProtoField]): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(ProtoEncode(Bridge.expression(jsonC), schema))
+  }
+
+  /** `tag_types_externally` (tag_types_externally.cue) over a JSON doc. */
+  def tagTypesExternally(jsonC: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(TagTypesExternally(Bridge.expression(jsonC)))
+  }
+
+  /** `validate_json_schema` (validate_json_schema.cue): core-keyword
+    * subset, inline schema JSON — see [[ValidateJsonSchema]].
+    */
+  def validateJsonSchema(jsonC: Column, schemaJson: String,
+                         ignoreUnknownFormats: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ValidateJsonSchema(Bridge.expression(jsonC), schemaJson,
+      ignoreUnknownFormats))
+  }
+
+  /** `replace_with` (replace_with.cue): closure-based regex rewrite —
+    * see [[RegexReplaceWith]].
+    */
+  def replaceWith(c: Column, regex: String,
+                  fn: (String, Seq[String]) => String,
+                  count: Int = -1): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(RegexReplaceWith(Bridge.expression(c), regex, fn, count))
   }
 
   /** `uuid_from_friendly_id` (uuid_from_friendly_id.cue): base62 → UUID. */

@@ -61,6 +61,33 @@ object Meta {
       col(s"$Col.lineage").as("lineage"),
       map_filter(col(s"$Col.secrets"), (k, _) => k =!= name).as("secrets")))
 
+  /** VRL `set_semantic_meaning` / the meaning query side
+    * (set_semantic_meaning.cue): assigns a semantic label ("ip",
+    * "timestamp", …) to a field path. In the reference this is event
+    * metadata consulted by schema-aware sinks; here it is a
+    * `_semantics map<string,string>` sidecar column (meaning → field
+    * path) so a sink can resolve `meaning("ip")` to a concrete column
+    * without the pipeline hard-coding names. Narrow, codegen'd, no
+    * shuffle — same design as the `_meta` struct above.
+    */
+  val SemCol = "_semantics"
+
+  def setSemanticMeaning(df: DataFrame, fieldPath: String,
+                         meaning: String): DataFrame = {
+    val base: Column =
+      if (df.columns.contains(SemCol)) col(SemCol)
+      else map().cast("map<string,string>")
+    df.withColumn(SemCol, map_concat(
+      map_filter(base, (k, _) => k =!= meaning),
+      map(lit(meaning), lit(fieldPath))))
+  }
+
+  /** Resolve a semantic meaning to the column it labels (null if unset —
+    * try_element_at, since ANSI element_at throws on a missing key).
+    */
+  def semanticField(df: DataFrame, meaning: String): Column =
+    try_element_at(col(SemCol), lit(meaning))
+
   /** Clear ALL secrets, keep provenance — what a sink must do before
     * committing rows to storage.
     */
