@@ -715,6 +715,39 @@ object FunctionQueries {
           Wave8Schema).isNull.as("w_malformed"),
         capWords.as("w_capwords"),
         capFirst.as("w_capfirst"))
+    }),
+
+    // ---- parse_dnstap: per-row synthesized frame (envelope + DNS query
+    //      with the row's id) plus the cue golden frame's EDE path ----
+    "f_parse_dnstap" -> ((s, dir) => {
+      // dnstap envelope: identity "t1", version "v1", ClientQuery over
+      // INET/UDP, query_message = DNS A query for www.example.com with
+      // header id = event_id % 65536 (the only varying bytes)
+      val frame = unhex(concat(
+        lit("0a0274311202763172290805100118015221"),
+        lpad(hex(pmod(col("event_id"), lit(65536L))), 4, "0"),
+        lit("0000000100000000000003777777076578616d706c6503636f6d0000010001"),
+        lit("7801")))
+      val parsed = V.parseDnstap(frame)
+      val golden = V.parseDnstap(unbase64(lit(
+        "ChVqYW1lcy1WaXJ0dWFsLU1hY2hpbmUSC0JJTkQgOS4xNi4zGgBy5wEIAxACGAEiEA" +
+        "AAAAAAAAAAAAAAAAAAAAAqECABBQJwlAAAAAAAAAAAADAw8+0CODVA7+zq9wVNMU3W" +
+        "NlI2kwIAAAABAAAAAAABCWZhY2Vib29rMQNjb20AAAEAAQAAKQIAAACAAAAMAAoACO" +
+        "xjCAG9zVgzWgUDY29tAGAAbQAAAAByZLM4AAAAAQAAAAAAAQJoNQdleGFtcGxlA2Nv" +
+        "bQAABgABAAApBNABAUAAADkADwA1AAlubyBTRVAgbWF0Y2hpbmcgdGhlIERTIGZvdW" +
+        "5kIGZvciBkbnNzZWMtZmFpbGVkLm9yZy54AQ==")))
+      ev(s, dir).select(col("event_id"),
+        get_json_object(parsed, "$.requestData.header.id").cast("long").as("d_id"),
+        get_json_object(parsed, "$.messageType").as("d_type"),
+        get_json_object(parsed, "$.requestData.question[0].domainName").as("d_q"),
+        get_json_object(parsed, "$.requestData.question[0].questionType").as("d_qt"),
+        get_json_object(parsed, "$.requestData.rcodeName").as("d_rcode"),
+        get_json_object(parsed, "$.socketFamily").as("d_family"),
+        get_json_object(golden, "$.queryZone").as("d_g_zone"),
+        get_json_object(golden, "$.responseData.rcodeName").as("d_g_rcode"),
+        get_json_object(golden, "$.responseData.opt.ede[0].purpose").as("d_g_ede"),
+        get_json_object(golden, "$.sourcePort").cast("long").as("d_g_port"),
+        V.parseDnstap(unhex(lit("0a7f"))).isNull.as("d_bad"))
     })
   )
 
@@ -1126,6 +1159,21 @@ object FunctionQueries {
         |   AS w_capwords,
         | upper(substr(event_type, 1, 1)) || substr(event_type, 2) ||
         |   ' and ' || event_type AS w_capfirst
+        |FROM events""".stripMargin,
+
+    "f_parse_dnstap" ->
+      """SELECT event_id,
+        | event_id % 65536 AS d_id,
+        | 'ClientQuery' AS d_type,
+        | 'www.example.com.' AS d_q,
+        | 'A' AS d_qt,
+        | 'NoError' AS d_rcode,
+        | 'INET' AS d_family,
+        | 'com.' AS d_g_zone,
+        | 'BADVERS' AS d_g_rcode,
+        | 'DNSKEY Missing' AS d_g_ede,
+        | 46835 AS d_g_port,
+        | true AS d_bad
         |FROM events""".stripMargin,
 
     "f_parse_kv" ->

@@ -744,6 +744,14 @@ object Vrl {
     Bridge.column(ProtoEncode(Bridge.expression(jsonC), schema))
   }
 
+  /** `parse_dnstap` (parse_dnstap.cue): dnstap protobuf envelope + RFC
+    * 1035/6891/8914 DNS wire decode — see [[graft.parse.Dnstap]].
+    */
+  def parseDnstap(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.parse.DnstapParse(Bridge.expression(c)))
+  }
+
   /** `tag_types_externally` (tag_types_externally.cue) over a JSON doc. */
   def tagTypesExternally(jsonC: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
