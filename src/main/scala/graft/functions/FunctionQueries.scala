@@ -748,6 +748,41 @@ object FunctionQueries {
         get_json_object(golden, "$.responseData.opt.ede[0].purpose").as("d_g_ede"),
         get_json_object(golden, "$.sourcePort").cast("long").as("d_g_port"),
         V.parseDnstap(unhex(lit("0a7f"))).isNull.as("d_bad"))
+    }),
+
+    // ---- OTLP logs roundtrip (public opentelemetry-proto schema over
+    //      the wire-format codec) ----
+    "f_otlp" -> ((s, dir) => {
+      val sevNum = when(col("event_type") === "error", lit(17))
+        .when(col("event_type") === "purchase", lit(13)).otherwise(lit(9))
+      val q = "\""
+      val logsJson = concat(
+        lit("{" + q + "resourceLogs" + q + ":[{" + q + "resource" + q + ":{" +
+          q + "attributes" + q + ":[{" + q + "key" + q + ":" + q + "service.name" + q +
+          "," + q + "value" + q + ":{" + q + "stringValue" + q + ":" + q + "svc-"),
+        pmod(col("user_id"), lit(5L)).cast("string"),
+        lit(q + "}}]}," + q + "scopeLogs" + q + ":[{" + q + "scope" + q + ":{" +
+          q + "name" + q + ":" + q + "graft" + q + "}," + q + "logRecords" + q +
+          ":[{" + q + "timeUnixNano" + q + ":"),
+        (col("event_id") * 1000000L).cast("string"),
+        lit("," + q + "severityNumber" + q + ":"), sevNum.cast("string"),
+        lit("," + q + "severityText" + q + ":" + q), upper(col("event_type")),
+        lit(q + "," + q + "body" + q + ":{" + q + "stringValue" + q + ":" + q),
+        col("event_type"),
+        lit(q + "}," + q + "attributes" + q + ":[{" + q + "key" + q + ":" + q +
+          "user" + q + "," + q + "value" + q + ":{" + q + "intValue" + q + ":"),
+        col("user_id").cast("string"),
+        lit("}}]}]}]}]}"))
+      val rt = V.parseOtlpLogs(V.encodeOtlpLogs(logsJson))
+      val rec = "$.resourceLogs[0].scopeLogs[0].logRecords[0]"
+      ev(s, dir).select(col("event_id"),
+        get_json_object(rt, s"$rec.timeUnixNano").cast("long").as("o_time"),
+        get_json_object(rt, s"$rec.severityNumber").cast("int").as("o_sevnum"),
+        get_json_object(rt, s"$rec.severityText").as("o_sevtext"),
+        get_json_object(rt, s"$rec.body.stringValue").as("o_body"),
+        get_json_object(rt, s"$rec.attributes[0].value.intValue").cast("long").as("o_user"),
+        get_json_object(rt, "$.resourceLogs[0].resource.attributes[0].value.stringValue").as("o_svc"),
+        V.parseOtlpLogs(unhex(lit("0aff"))).isNull.as("o_bad"))
     })
   )
 
@@ -1174,6 +1209,18 @@ object FunctionQueries {
         | 'DNSKEY Missing' AS d_g_ede,
         | 46835 AS d_g_port,
         | true AS d_bad
+        |FROM events""".stripMargin,
+
+    "f_otlp" ->
+      """SELECT event_id,
+        | event_id * 1000000 AS o_time,
+        | CASE event_type WHEN 'error' THEN 17 WHEN 'purchase' THEN 13
+        |   ELSE 9 END AS o_sevnum,
+        | upper(event_type) AS o_sevtext,
+        | event_type AS o_body,
+        | user_id AS o_user,
+        | 'svc-' || (user_id % 5) AS o_svc,
+        | true AS o_bad
         |FROM events""".stripMargin,
 
     "f_parse_kv" ->

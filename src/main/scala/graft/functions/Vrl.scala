@@ -744,6 +744,12 @@ object Vrl {
     Bridge.column(ProtoEncode(Bridge.expression(jsonC), schema))
   }
 
+  /** OTLP logs decode/encode (public opentelemetry-proto logs.proto over
+    * the wire-format codec) — see [[Otlp]]. JSON in/out, fallible → null.
+    */
+  def parseOtlpLogs(c: Column): Column = parseProto(c, Otlp.LogsData)
+  def encodeOtlpLogs(jsonC: Column): Column = encodeProto(jsonC, Otlp.LogsData)
+
   /** `parse_dnstap` (parse_dnstap.cue): dnstap protobuf envelope + RFC
     * 1035/6891/8914 DNS wire decode — see [[graft.parse.Dnstap]].
     */
