@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -783,6 +783,49 @@ object FunctionQueries {
         get_json_object(rt, s"$rec.attributes[0].value.intValue").cast("long").as("o_user"),
         get_json_object(rt, "$.resourceLogs[0].resource.attributes[0].value.stringValue").as("o_svc"),
         V.parseOtlpLogs(unhex(lit("0aff"))).isNull.as("o_bad"))
+    }),
+
+    // ---- byte-stream framing (newline/char/octet/length/varint) ----
+    "f_framing" -> ((s, dir) => {
+      val a = col("event_type")
+      val b2 = concat(lit("u"), col("user_id").cast("string"))
+      val bin = (c: Column) => c.cast("binary")
+      val str = (c: Column) => decode(c, "UTF-8")
+      val lenAscii = (c: Column) => length(c).cast("string")
+      val len4 = (c: Column) => unhex(lpad(hex(length(c)), 8, "0"))
+      val len1 = (c: Column) => unhex(lpad(hex(length(c)), 2, "0"))
+      val nlBlob = bin(concat(a, lit("\n"), b2, lit("\n")))
+      val octBlob = bin(concat(lenAscii(a), lit(" "), a, lenAscii(b2), lit(" "), b2))
+      val l4Blob = concat(len4(a), bin(a), len4(b2), bin(b2))
+      val viBlob = concat(len1(a), bin(a), len1(b2), bin(b2))
+      val nl = Framing.frames(nlBlob, "newline")
+      val oct = Framing.frames(octBlob, "octet")
+      val l4 = Framing.frames(l4Blob, "length4be")
+      val vi = Framing.frames(viBlob, "varint")
+      ev(s, dir).select(col("event_id"),
+        size(nl).as("fr_nl_n"), str(element_at(nl, 1)).as("fr_nl_0"),
+        str(element_at(nl, 2)).as("fr_nl_1"),
+        size(oct).as("fr_oct_n"), str(element_at(oct, 2)).as("fr_oct_1"),
+        size(l4).as("fr_l4_n"), str(element_at(l4, 1)).as("fr_l4_0"),
+        size(vi).as("fr_vi_n"), str(element_at(vi, 2)).as("fr_vi_1"),
+        Framing.frames(bin(concat(lit("x "), a)), "octet").isNull.as("fr_bad"),
+        Framing.frames(bin(lit("a|b|c")), "char", '|'.toByte).getItem(2)
+          .cast("string").as("fr_char_2"))
+    }),
+
+    // ---- chunked_gelf reassembly: header parse + id-keyed groupBy ----
+    "v_gelf_reassembly" -> ((s, dir) => {
+      val msgId = lpad(hex(col("event_id")), 16, "0")
+      val hdr = (seq: String) => concat(lit("1e0f"), msgId, lit(seq), lit("02"))
+      val part0 = col("event_type")
+      val part1 = concat(lit(":"), col("user_id").cast("string"))
+      val chunks = array(
+        concat(unhex(hdr("00")), part0.cast("binary")),
+        concat(unhex(hdr("01")), part1.cast("binary")))
+      val datagrams = ev(s, dir)
+        .select(explode(chunks).as("datagram"))
+      Framing.reassembleGelf(datagrams, "datagram")
+        .select(col("msg_id"), decode(col("message"), "UTF-8").as("message"))
     })
   )
 
@@ -1221,6 +1264,21 @@ object FunctionQueries {
         | user_id AS o_user,
         | 'svc-' || (user_id % 5) AS o_svc,
         | true AS o_bad
+        |FROM events""".stripMargin,
+
+    "f_framing" ->
+      """SELECT event_id,
+        | 2 AS fr_nl_n, event_type AS fr_nl_0, 'u' || user_id AS fr_nl_1,
+        | 2 AS fr_oct_n, 'u' || user_id AS fr_oct_1,
+        | 2 AS fr_l4_n, event_type AS fr_l4_0,
+        | 2 AS fr_vi_n, 'u' || user_id AS fr_vi_1,
+        | true AS fr_bad,
+        | 'c' AS fr_char_2
+        |FROM events""".stripMargin,
+
+    "v_gelf_reassembly" ->
+      """SELECT lower(lpad(to_hex(event_id), 16, '0')) AS msg_id,
+        | event_type || ':' || user_id AS message
         |FROM events""".stripMargin,
 
     "f_parse_kv" ->
