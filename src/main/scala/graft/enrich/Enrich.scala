@@ -87,4 +87,33 @@ object Enrich {
     val cond = keys.map(k => df(k) === table(k)).reduce(_ && _) && ts >= from && ts < to
     keys.foldLeft(df.join(broadcast(table), cond, "left"))((d, k) => d.drop(table(k)))
   }
+
+  /** `find_enrichment_table_records` (find_enrichment_table_records.cue;
+    * lib/enrichment/src/lib.rs `find_table_rows`): ALL rows matching the
+    * condition, as one JSON-array column per event ("[]" on no match).
+    *
+    * Scale shape: the multi-row result is pre-aggregated ON THE DIM SIDE
+    * (`groupBy(key).agg(sort_array(collect_list(to_json(...))))` over the
+    * config-sized table), then broadcast — the fact side stays narrow and
+    * never shuffles, and each event row gets the whole match set in one
+    * probe. `select` prunes attribute columns before serialization;
+    * `caseSensitive = false` lowercases string keys on both sides (the
+    * cue option).
+    */
+  def findRecords(df: DataFrame, table: DataFrame, keys: Seq[String],
+                  select: Seq[String], out: String = "records_json",
+                  caseSensitive: Boolean = true): DataFrame = {
+    def norm(c: Column) = if (caseSensitive) c else lower(c.cast("string"))
+    val recs = table
+      .groupBy(keys.map(k => norm(col(k)).as(k)): _*)
+      .agg(sort_array(collect_list(to_json(struct(select.map(col): _*))))
+        .as("_recs"))
+    val joined = df.join(broadcast(recs),
+      keys.map(k => norm(df(k)) === recs(k)).reduce(_ && _), "left")
+    keys.foldLeft(joined)((d, k) => d.drop(recs(k)))
+      .withColumn(out,
+        concat(lit("["), array_join(coalesce(col("_recs"),
+          array().cast("array<string>")), ","), lit("]")))
+      .drop("_recs")
+  }
 }

@@ -826,6 +826,40 @@ object FunctionQueries {
         .select(explode(chunks).as("datagram"))
       Framing.reassembleGelf(datagrams, "datagram")
         .select(col("msg_id"), decode(col("message"), "UTF-8").as("message"))
+    }),
+
+    // ---- wave 9: type-introspection tail (is_integer/is_string over the
+    //      JSON-variant form), fallible to_regex, match_datadog_query,
+    //      and find_enrichment_table_records (multi-row enrich) ----
+    "f_wave9" -> ((s, dir) => {
+      val m = pmod(col("event_id"), lit(6L))
+      val variant = when(m === 0, col("user_id").cast("string"))
+        .when(m === 1, concat(col("user_id").cast("string"), lit("."),
+          pmod(col("event_id"), lit(10L)).cast("string")))
+        .when(m === 2, concat(lit("\""), col("event_type"), lit("\"")))
+        .when(m === 3, when(col("user_id") % 2 === 0, lit("true")).otherwise(lit("false")))
+        .when(m === 4, concat(lit("["), col("user_id").cast("string"), lit(","),
+          pmod(col("event_id"), lit(100L)).cast("string"), lit("]")))
+        .otherwise(concat(lit("{\"u\":"), col("user_id").cast("string"), lit("}")))
+      val pm = pmod(col("event_id"), lit(3L))
+      val pat = when(pm === 0, concat(lit("^"), col("event_type"), lit("$")))
+        .when(pm === 1, lit("([")) // does not compile → null lane
+        .otherwise(concat(col("event_type"), lit("+")))
+      ev(s, dir).select(col("event_id"),
+        V.jsonTypeOf(variant).as("w_type"),
+        V.isType(variant, "integer").as("w_is_int"),
+        V.isType(variant, "string").as("w_is_str"),
+        V.toRegex(pat).as("w_regex"),
+        V.matchDatadogQuery("event_type:sign* OR value:>190", "event_type").as("w_dd"))
+    }),
+
+    "f_enrich_multi" -> ((s, dir) => {
+      import graft.enrich.Enrich
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey").as("n_nationkey"))
+      Enrich.findRecords(n, sup, Seq("n_nationkey"), Seq("s_suppkey", "s_name"))
+        .select(col("n_nationkey"), col("n_name"), col("records_json"))
     })
   )
 
@@ -1280,6 +1314,27 @@ object FunctionQueries {
       """SELECT lower(lpad(to_hex(event_id), 16, '0')) AS msg_id,
         | event_type || ':' || user_id AS message
         |FROM events""".stripMargin,
+
+    "f_wave9" ->
+      """SELECT event_id,
+        | CASE event_id % 6 WHEN 0 THEN 'integer' WHEN 1 THEN 'float'
+        |   WHEN 2 THEN 'string' WHEN 3 THEN 'boolean' WHEN 4 THEN 'array'
+        |   ELSE 'object' END AS w_type,
+        | (event_id % 6 = 0) AS w_is_int,
+        | (event_id % 6 = 2) AS w_is_str,
+        | CASE event_id % 3 WHEN 0 THEN '^' || event_type || '$'
+        |   WHEN 1 THEN NULL ELSE event_type || '+' END AS w_regex,
+        | (event_type LIKE 'sign%' OR value > 190) AS w_dd
+        |FROM events""".stripMargin,
+
+    "f_enrich_multi" ->
+      """SELECT n_nationkey, n_name,
+        | coalesce('[' || string_agg(
+        |     to_json(struct_pack(s_suppkey := s_suppkey, s_name := s_name)), ','
+        |     ORDER BY to_json(struct_pack(s_suppkey := s_suppkey, s_name := s_name)))
+        |   || ']', '[]') AS records_json
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name""".stripMargin,
 
     "f_parse_kv" ->
       s"""SELECT event_id, $duckLogfmtLine AS line,

@@ -263,6 +263,60 @@ case class RegexReplaceWith(child: Expression, regex: String,
     copy(child = newChild)
 }
 
+/** VRL `to_regex` (to_regex.cue): fallible string→regex coercion. The
+  * value survives when `Pattern.compile` accepts it, else null — callers
+  * branch on null exactly like the reference's `?? r''` fallback. A tiny
+  * bounded LRU caches compile verdicts per task (queries feed few distinct
+  * patterns; the cue notice warns per-value compilation is expensive).
+  */
+case class ToRegex(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "to_regex"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"to_regex needs a string, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (ToRegex.compiles(s)) v else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""if (graft.functions.ToRegex.compiles($c.toString())) { ${ev.value} = $c; }
+         |else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ToRegex =
+    copy(child = newChild)
+}
+
+object ToRegex {
+
+  private val cache = new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+      size() > 1024
+  }
+
+  def compiles(s: String): Boolean = cache.synchronized {
+    val hit = cache.get(s)
+    if (hit != null) hit.booleanValue()
+    else {
+      val ok =
+        try { java.util.regex.Pattern.compile(s); true }
+        catch { case _: java.util.regex.PatternSyntaxException => false }
+      cache.put(s, java.lang.Boolean.valueOf(ok))
+      ok
+    }
+  }
+}
+
 object RegexReplaceWith {
 
   def run(in: String, p: java.util.regex.Pattern,

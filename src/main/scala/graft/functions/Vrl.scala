@@ -814,4 +814,63 @@ object Vrl {
     * pair with `Remap.abortWhen(!assertEq(...))` for the abort path.
     */
   def assertEq(a: Column, b: Column): Column = a === b
+
+  // ---- wave 9: type-introspection tail over the JSON-variant value form
+  // (is_integer.cue, is_string.cue, to_regex.cue; is_timestamp / is_regex
+  // are STATIC schema facts in a typed engine — see isTimestampField).
+
+  /** VRL type name of a JSON-rendered value — the variant form the other
+    * JSON ports (parse_json / tag_types_externally) use: "null",
+    * "boolean", "integer", "float", "string", "array", "object"; null on
+    * unparseable input. Pure when-chain on the trimmed literal head, so it
+    * stays in whole-stage codegen.
+    */
+  def jsonTypeOf(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    when(c.isNull, lit(null).cast("string"))
+      .when(s === "null", "null")
+      .when(s === "true" || s === "false", "boolean")
+      .when(s.rlike("^-?[0-9]+$"), "integer")
+      .when(s.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), "float")
+      .when(s.startsWith("\"") && isJson(s), "string")
+      .when(s.startsWith("[") && isJson(s), "array")
+      .when(s.startsWith("{") && isJson(s), "object")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** `is_integer` / `is_float` / `is_string` / `is_boolean` /
+    * `is_array` / `is_object` / `is_null` (is_*.cue) over the JSON-variant
+    * form: type-name equality on [[jsonTypeOf]].
+    */
+  def isType(c: Column, tname: String): Column =
+    coalesce(jsonTypeOf(c) === tname, lit(false))
+
+  /** `is_timestamp` / `is_regex` (is_timestamp.cue, is_regex.cue): in VRL
+    * these test the runtime type of a variant value; in Spark, column
+    * types are schema facts known at plan time — so the honest port is a
+    * static check, not a per-row expression.
+    */
+  def isTimestampField(df: org.apache.spark.sql.DataFrame, name: String): Boolean =
+    df.schema(name).dataType == org.apache.spark.sql.types.TimestampType
+
+  /** `to_regex` (to_regex.cue): fallible coercion of a string into a
+    * regex — returns the pattern when it compiles, null otherwise (the
+    * cue example's `to_regex(...) ?? r''` fallback shape). The compiled
+    * check needs Pattern.compile per distinct value — see [[ToRegex]];
+    * pair with `rlike(col, pattern)` only on non-null results.
+    */
+  def toRegex(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ToRegex(Bridge.expression(c)))
+  }
+
+  /** `match_datadog_query` (match_datadog_query.cue): the reference
+    * evaluates a Datadog-search query against the event; here the query
+    * compiles ONCE at plan time to a pushdown-friendly Catalyst predicate
+    * — see [[graft.conditions.DatadogSearch.compile]]. This alias exists
+    * so the VRL surface names it; the compiled form is strictly stronger
+    * (static compile + scan pushdown vs per-event interpretation).
+    */
+  def matchDatadogQuery(query: String, defaultField: String): Column =
+    graft.conditions.DatadogSearch.compile(query, defaultField)
 }

@@ -50,6 +50,31 @@ class EnrichSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("findRecords: all matches as a sorted JSON array, [] on miss, case-insensitive option") {
+    val facts = Seq((1L, "Smith"), (2L, "jones"), (3L, "nobody")).toDF("id", "surname")
+    val people = Seq(
+      (1L, "Bob", "smith"), (2L, "Fred", "smith"), (3L, "Ann", "Jones")
+    ).toDF("pid", "firstname", "surname")
+    // case-sensitive: "Smith" misses the lowercase table rows
+    val cs = Enrich.findRecords(facts, people, Seq("surname"),
+      Seq("pid", "firstname"))
+      .select(col("id"), col("records_json")).as[(Long, String)].collect().toMap
+    assert(cs(1L) == "[]")
+    assert(cs(2L) == "[]") // table has "Jones", fact has "jones"
+    // case-insensitive: multi-row match, sorted deterministically
+    val ci = Enrich.findRecords(facts, people, Seq("surname"),
+      Seq("pid", "firstname"), caseSensitive = false)
+      .select(col("id"), col("records_json")).as[(Long, String)].collect().toMap
+    assert(ci(1L) == """[{"pid":1,"firstname":"Bob"},{"pid":2,"firstname":"Fred"}]""")
+    assert(ci(2L) == """[{"pid":3,"firstname":"Ann"}]""")
+    assert(ci(3L) == "[]")
+    // scale shape: dim-side pre-agg + broadcast, fact side never shuffles
+    val plan = Enrich.findRecords(facts, people, Seq("surname"),
+      Seq("pid", "firstname")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("lookupBetween stays a broadcast join") {
     val facts = Seq(("web", ts(5), 1L)).toDF("src", "ts", "id")
     val attrs = Seq(("web", ts(0), ts(10), 10)).toDF("src", "from_ts", "to_ts", "price")

@@ -105,4 +105,30 @@ class JsonShapeSpec extends AnyFunSuite with graft.SparkSpec {
     val again = df.select(hex(Vrl.randomBytesSeeded(col("code"), 20))).collect()
     assert(out.map(_.getString(2)).toSeq == again.map(_.getString(0)).toSeq)
   }
+
+  // ---- wave 9: jsonTypeOf / isType / to_regex ----
+
+  test("jsonTypeOf names the VRL type of a JSON-variant value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      "123" -> "integer", "-45" -> "integer", "12.5" -> "float",
+      "1e3" -> "float", "\"abc\"" -> "string", "true" -> "boolean",
+      "false" -> "boolean", "null" -> "null", "[1,2]" -> "array",
+      "{\"a\":1}" -> "object", "{nope" -> null, "\"unterminated" -> null)
+    val got = cases.map(_._1).toDF("v")
+      .select(col("v"), Vrl.jsonTypeOf(col("v")).as("t"),
+        Vrl.isType(col("v"), "integer").as("i"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"jsonTypeOf($in)") }
+  }
+
+  test("to_regex keeps compiling patterns and nulls the rest (cue fallback shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Seq("^foo$", "([", "a+b", "(?<name>x)", "*bad")
+      .toDF("p").select(Vrl.toRegex(col("p"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(out == Seq("^foo$", null, "a+b", "(?<name>x)", null))
+  }
 }
