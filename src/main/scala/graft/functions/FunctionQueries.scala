@@ -853,6 +853,21 @@ object FunctionQueries {
         V.matchDatadogQuery("event_type:sign* OR value:>190", "event_type").as("w_dd"))
     }),
 
+    // ---- exact percent codec (encode/decode_percent with the WHATWG
+    //      ascii-set lattice; url_encode stays the form codec) ----
+    "f_percent" -> ((s, dir) => {
+      val raw = concat(col("event_type"), lit(" /=&?~."),
+        col("user_id").cast("string"))
+      ev(s, dir).select(col("event_id"),
+        V.encodePercent(raw).as("p_non"),
+        V.encodePercent(raw, "QUERY").as("p_query"),
+        V.encodePercent(raw, "USERINFO").as("p_userinfo"),
+        V.encodePercent(raw, "WWW_FORM_URLENCODED").as("p_form"),
+        (V.decodePercent(V.encodePercent(raw)) === raw).as("p_rt"),
+        V.decodePercent(concat(col("event_type"), lit("+x%20"),
+          col("user_id").cast("string"))).as("p_plus"))
+    }),
+
     "f_enrich_multi" -> ((s, dir) => {
       import graft.enrich.Enrich
       val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
@@ -1325,6 +1340,22 @@ object FunctionQueries {
         | CASE event_id % 3 WHEN 0 THEN '^' || event_type || '$'
         |   WHEN 1 THEN NULL ELSE event_type || '+' END AS w_regex,
         | (event_type LIKE 'sign%' OR value > 190) AS w_dd
+        |FROM events""".stripMargin,
+
+    "f_percent" ->
+      """SELECT event_id,
+        | replace(replace(replace(replace(replace(replace(replace(
+        |   event_type || ' /=&?~.' || user_id,
+        |   ' ','%20'),'/','%2F'),'=','%3D'),'&','%26'),'?','%3F'),'~','%7E'),'.','%2E') AS p_non,
+        | replace(event_type || ' /=&?~.' || user_id, ' ', '%20') AS p_query,
+        | replace(replace(replace(replace(
+        |   event_type || ' /=&?~.' || user_id,
+        |   ' ','%20'),'/','%2F'),'=','%3D'),'?','%3F') AS p_userinfo,
+        | replace(replace(replace(replace(replace(replace(
+        |   event_type || ' /=&?~.' || user_id,
+        |   ' ','%20'),'/','%2F'),'=','%3D'),'&','%26'),'?','%3F'),'~','%7E') AS p_form,
+        | true AS p_rt,
+        | event_type || '+x ' || user_id AS p_plus
         |FROM events""".stripMargin,
 
     "f_enrich_multi" ->

@@ -198,6 +198,20 @@ object Vrl {
     Bridge.column(Punycode(Bridge.expression(c), encode = false))
   }
 
+  /** VRL `encode_percent` / `decode_percent` (encode_percent.cue) — the
+    * exact percent form with the WHATWG ascii-set lattice; space → `%20`,
+    * `+` untouched — see [[Percent]]. (Spark's `url_encode` stays the
+    * form-urlencoded codec in `f_url_codec`.)
+    */
+  def encodePercent(c: Column, asciiSet: String = "NON_ALPHANUMERIC"): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(PercentEncode(Bridge.expression(c), asciiSet))
+  }
+  def decodePercent(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(PercentDecode(Bridge.expression(c)))
+  }
+
   /** VRL `hmac` with SHA-256, composed from the definition
     * `H((K^opad) || H((K^ipad) || m))` over Spark's codegen'd `sha2` —
     * no UDF, no JCE call per row; the padded-key XOR blocks are plan-time

@@ -127,4 +127,36 @@ class CryptoCodecSpec extends SparkSpec {
       .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].head()
     assert(got == ((true, true, true, true, true, true, true)))
   }
+
+  test("percent codec: cue vectors, set lattice, malformed passthrough, non-ASCII") {
+    // cue examples
+    assert(Percent.enc("foo bar?") == "foo%20bar%3F")
+    assert(Percent.enc("foo \tbar", "CONTROLS") == "foo %09bar")
+    assert(Percent.dec("foo%20bar%3F") == "foo bar?")
+    // set lattice: '?' enters at PATH, '&' at COMPONENT, '~' only in
+    // NON_ALPHANUMERIC and WWW_FORM_URLENCODED
+    assert(Percent.enc("a b", "FRAGMENT") == "a%20b")
+    assert(Percent.enc("?&~.", "QUERY") == "?&~.")
+    assert(Percent.enc("?&~.", "PATH") == "%3F&~.")
+    assert(Percent.enc("?&~.", "COMPONENT") == "%3F%26~.")
+    assert(Percent.enc("?&~.", "WWW_FORM_URLENCODED") == "%3F%26%7E.")
+    assert(Percent.enc("?&~.") == "%3F%26%7E%2E")
+    // '+' is data, not space, in the percent codec — both directions
+    assert(Percent.enc("a+b", "QUERY") == "a+b")
+    assert(Percent.dec("a+b%20c") == "a+b c")
+    // malformed % sequences pass through verbatim
+    assert(Percent.dec("100%") == "100%")
+    assert(Percent.dec("%zz%4") == "%zz%4")
+    // non-ASCII bytes always encode (UTF-8 bytewise), and roundtrip
+    assert(Percent.enc("é", "CONTROLS") == "%C3%A9")
+    assert(Percent.dec("%C3%A9") == "é")
+    // column path agrees with the JVM reference
+    import spark.implicits._
+    val got = Seq("foo bar?", "x é +/").toDF("s").select(
+      Vrl.encodePercent(col("s")).as("e"),
+      Vrl.decodePercent(Vrl.encodePercent(col("s"))).as("rt"))
+      .as[(String, String)].collect()
+    assert(got(0) == (("foo%20bar%3F", "foo bar?")))
+    assert(got(1)._2 == "x é +/")
+  }
 }
