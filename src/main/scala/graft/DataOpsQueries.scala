@@ -251,6 +251,13 @@ object DataOpsQueries {
         col("embedding"), threshold = 0.3, nBits = EmbedBits)
     }),
 
+    // ---- banded (OR-amplified) cosine LSH — the recall-preserving width
+    //      lever for 100-TB corpora (see cosineNearDupsBanded scaladoc) ----
+    "d_embed_banded" -> ((s, dir) => {
+      Similarity.cosineNearDupsBanded(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.3, bands = 2, rowBits = EmbedBits)
+    }),
+
     // ---- brute-force cosine top-k ANN (exact baseline) ----
     "d_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -594,6 +601,20 @@ object DataOpsQueries {
          |  SELECT l.vec_id AS id_l, r.vec_id AS id_r,
          |    ${duckCos("l.embedding", "r.embedding")} AS cos
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |WHERE cos >= 0.3""".stripMargin,
+
+    "d_embed_banded" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |             ${duckBucketExpr("embedding", 2 * EmbedBits)} AS sig
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, embedding, t.band,
+         |        (sig >> (t.band * $EmbedBits)) & ${(1L << EmbedBits) - 1} AS bucket
+         |      FROM s CROSS JOIN range(0, 2) t(band))
+         |SELECT DISTINCT id_l, id_r, cos FROM (
+         |  SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+         |    ${duckCos("l.embedding", "r.embedding")} AS cos
+         |  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id)
          |WHERE cos >= 0.3""".stripMargin,
 
     "d_ann_topk" ->

@@ -122,8 +122,36 @@ object ScaleUpBench {
         s""""pairs_secs":$tPairs,"survivors":$survivors,"dedupe_secs":$tDedupe}""")
       spark.stop()
 
+    case "--embed" :: dir :: nBits :: Nil =>
+      // embedding cosine near-dup at a given sign-bucket width — the same
+      // scale lever as simhash bandBits: 2^nBits buckets, candidates grow
+      // with (corpus/2^nBits)^2 per bucket (see cosineNearDups scaladoc)
+      val spark = session()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.count()
+      val t0 = System.nanoTime()
+      val nPairs = graft.sim.Similarity.cosineNearDups(
+        emb, col("vec_id"), col("embedding"),
+        threshold = 0.3, nBits = nBits.toInt).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""EMBED {"dir":"$dir","n_bits":$nBits,"pairs":$nPairs,"secs":$secs}""")
+      spark.stop()
+
+    case "--embed-banded" :: dir :: bands :: rowBits :: Nil =>
+      val spark = session()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.count()
+      val t0 = System.nanoTime()
+      val nPairs = graft.sim.Similarity.cosineNearDupsBanded(
+        emb, col("vec_id"), col("embedding"),
+        threshold = 0.3, bands = bands.toInt, rowBits = rowBits.toInt).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""EMBED_BANDED {"dir":"$dir","bands":$bands,"row_bits":$rowBits,""" +
+        s""""pairs":$nPairs,"secs":$secs}""")
+      spark.stop()
+
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits (got $other)")
       sys.exit(2)
   }
 }

@@ -61,6 +61,54 @@ object Similarity {
       .select(col("id_l"), col("id_r"), col("cos"))
   }
 
+  /** Banded sign-LSH cosine near-dup — the 100-TB path. The single-bucket
+    * form above has a width/recall trade: more bits bound the candidate
+    * count (pairs grow with (corpus/2^nBits)² per bucket) but split true
+    * neighbors across buckets. Banding OR-amplifies recall the way
+    * MinHash/SimHash banding does: ONE `bands*rowBits`-bit signature per
+    * vector (computed once), band k's bucket = bits [k·r, (k+1)·r); a pair
+    * is a candidate when ANY band matches (recall 1−(1−p^r)^b vs the
+    * single bucket's p^{nBits}), then exact cosine verifies. Exact
+    * duplicates agree on every sign bit, so they are candidates in every
+    * band — recall 1 for cos = 1 by construction.
+    *
+    * Scale shape: candidate generation is `bands` bucket-keyed joins in one
+    * plan (explode + join on (band, bucket)); cosine + threshold run
+    * BEFORE the pair-distinct so the dedup shuffle carries only surviving
+    * (id, id, cos) triples, never vectors. Pick `rowBits ≳ log2(corpus) −
+    * 5` like the simhash band lever; raise `bands` to buy recall at
+    * linear candidate cost.
+    */
+  def cosineNearDupsBanded(df: DataFrame, id: Column, vec: Column,
+                           threshold: Double, bands: Int = 4,
+                           rowBits: Int = 8): DataFrame = {
+    require(bands >= 1 && rowBits >= 1 && bands * rowBits <= 62,
+      s"bands*rowBits must fit a long, got $bands*$rowBits")
+    val mask = (1L << rowBits) - 1
+    val base = df.select(id.as("id"), vec.as("v"))
+      .withColumn("sig", signBucket(col("v"), bands * rowBits))
+      .withColumn("nrm", norm(col("v")))
+    val bandStructs = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("sig"), k * rowBits).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val banded = base
+      .select(col("id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_l"),
+      col("v").as("v_l"), col("nrm").as("n_l"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_r"),
+      col("v").as("v_r"), col("nrm").as("n_r"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_l") < col("id_r"))
+      .withColumn("cos", round(dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")), 6))
+      // threshold BEFORE the distinct: the dedup shuffle (needed — a pair
+      // can collide in >1 band) carries only surviving skinny triples
+      .filter(col("cos") >= threshold)
+      .select(col("id_l"), col("id_r"), col("cos"))
+      .distinct()
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). `queries` should be small — it is
     * broadcast; the corpus side streams. Ties broken by corpus id.

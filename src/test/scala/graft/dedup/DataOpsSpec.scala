@@ -210,6 +210,31 @@ class DataOpsSpec extends SparkSpec {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("banded cosine LSH: precision exact, dup-recall 1, superset of narrower single bucket") {
+    val df = vecs(200)
+    val exact = Similarity.cosineNearDups(df, col("vec_id"), col("embedding"),
+      threshold = 0.5, nBits = 0)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val banded = Similarity.cosineNearDupsBanded(df, col("vec_id"), col("embedding"),
+      threshold = 0.5, bands = 4, rowBits = 4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    // verified candidates → every banded pair is a true pair
+    assert(banded.subsetOf(exact), s"${banded -- exact} not in exact")
+    // OR-amplification: 4 bands of the SAME leading 4 bits as the
+    // single-bucket form can only add candidates relative to one band
+    val single = Similarity.cosineNearDups(df, col("vec_id"), col("embedding"),
+      threshold = 0.5, nBits = 4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(banded), s"${single -- banded} lost by banding")
+    // identical vectors agree on every sign bit → always found
+    val v = Array.tabulate(16)(_.toFloat / 16f)
+    val dups = Seq((1L, v), (2L, v), (3L, v.map(x => 1f - x))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupsBanded(dups, col("vec_id"), col("embedding"),
+      threshold = 0.999, bands = 8, rowBits = 6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("brute-force top-k: exact, ties broken by id, self excluded") {
     val df = vecs(50)
     val q = df.filter(col("vec_id") < 3)
