@@ -32,6 +32,17 @@ object FileSource {
     spark.read.textFile(glob).toDF("line")
       .select(input_file_name().as("path"), col("line"))
 
+  /** Continuous tail of a directory of line files — the reference's file
+    * source proper (it watches and tails): Spark's streaming text source
+    * picks up NEW files per micro-batch and checkpoints which files were
+    * read (the checkpointed-offsets analog of the reference's file
+    * fingerprint/position db). Pair with the StreamOps stages and a
+    * foreachBatch snapshot commit for the end-to-end exactly-once path.
+    */
+  def linesStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+      .select(input_file_name().as("path"), col("value").as("line"))
+
   /** Stateful framing over whole files: one row per frame, with
     * (path, frame_idx) lineage and a per-file error flag.
     */

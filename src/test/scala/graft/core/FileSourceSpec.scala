@@ -40,6 +40,24 @@ class FileSourceSpec extends SparkSpec {
       ("bad", true, None, None)))
   }
 
+  test("linesStream: tails new files across micro-batches with checkpointed progress") {
+    val dir = tmpDir()
+    Files.write(Paths.get(dir, "first.log"), "a1\na2\n".getBytes("UTF-8"))
+    val q = FileSource.linesStream(spark, dir)
+      .writeStream.format("memory").queryName("tailed")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tailed").count() == 2)
+      // a file that appears later is picked up by a later batch, not re-reading the first
+      Files.write(Paths.get(dir, "second.log"), "b1\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.table("tailed").select("line").as[String].collect().toSet
+      assert(got == Set("a1", "a2", "b1"))
+    } finally q.stop()
+  }
+
   test("framed: varint length-delimited roundtrips through the frame writer shape") {
     val dir = tmpDir()
     // two varint-framed payloads (lengths < 128 → single length byte)
