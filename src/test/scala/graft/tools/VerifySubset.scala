@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Local subset replica of [[graft.Verify]]: run only the named queries
   * (comma-separated in args(0)) at sf0.01 into /tmp/w6, dumping their
   * oracle SQL for `tools/check_verify.py /root/testdata/sf0.01 /tmp/w6`.
-  * Keeps the iterate-on-one-query loop fast (full Verify runs all 103).
+  * Keeps the iterate-on-one-query loop fast (full Verify runs all 115).
   */
 object VerifySubset {
   def main(args: Array[String]): Unit = {
