@@ -150,8 +150,26 @@ object ScaleUpBench {
         s""""pairs":$nPairs,"secs":$secs}""")
       spark.stop()
 
+    case "--pack" :: dir :: shards :: Nil =>
+      // sequence-packing throughput over a token table (the north-star
+      // input shape) — steady-state best-of-2; shards is the hot-source
+      // fan-out lever (TokenOps.packSequences scaladoc)
+      val spark = session()
+      val toks = spark.read.parquet(dir)
+      val rows = toks.count()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val packs = graft.tokens.TokenOps.packSequences(toks, budget = 2048,
+          shards = shards.toInt).count()
+        (packs, (System.nanoTime() - t0) / 1e9)
+      }
+      val (packedRows, secs) = times.minBy(_._2)
+      println(s"""PACK {"dir":"$dir","rows":$rows,"shards":$shards,""" +
+        s""""packed_rows":$packedRows,"secs":$secs,"rows_per_sec":${(rows / secs).toLong}}""")
+      spark.stop()
+
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards (got $other)")
       sys.exit(2)
   }
 }
