@@ -117,4 +117,35 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(formatted.contains("codegen id"), formatted)
   }
+
+  test("gelf reassembly is a single id-keyed shuffle (narrow parse, map-side count)") {
+    import spark.implicits._
+    val gdir = Files.createTempDirectory("planspec-gelf").toString + "/dg"
+    Seq(1, 2, 3).map(i => f"1e0f${i}%016x0002aa")
+      .toDF("hex").select(unhex(col("hex")).as("datagram")).write.parquet(gdir)
+    val p = plan(graft.functions.Framing.reassembleGelf(
+      spark.read.parquet(gdir), "datagram"))
+    // one exchange for the msg_id aggregate; the chunk parse stays below it
+    assert(p.linesIterator.count(_.trim.contains("Exchange")) == 1, p)
+    val exchangeLine = p.linesIterator.indexWhere(_.contains("Exchange"))
+    val parseLine = p.linesIterator.indexWhere(_.contains("gelf_chunk_parse"))
+    assert(parseLine > exchangeLine && exchangeLine >= 0,
+      s"chunk parse must sit below (before) the Exchange:\n$p")
+  }
+
+  test("banded cosine LSH shuffles only (band,bucket) joins + the skinny pair-distinct") {
+    import spark.implicits._
+    val vecs = (0L until 32L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.sim.Similarity.cosineNearDupsBanded(
+      vecs, col("vec_id"), col("embedding"), threshold = 0.3, bands = 2, rowBits = 4))
+    // no broadcast NLJ / cartesian anywhere — the join is hash-keyed
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the distinct aggregate runs over (id_l, id_r, cos) only — vectors
+    // never enter the dedup shuffle
+    val aggLine = p.linesIterator.find(l => l.contains("HashAggregate") &&
+      l.contains("id_l")).getOrElse(fail(s"no pair aggregate in plan:\n$p"))
+    assert(!aggLine.contains("v_l") && !aggLine.contains("v_r"),
+      s"vectors leaked into the dedup shuffle: $aggLine")
+  }
 }
