@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.scalacheck.{Gen => SGen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
 
 /** ScalaCheck properties for the pure-JVM codec cores (no SparkSession):
   * percent-encoding roundtrip/idempotence across the whole ascii-set
@@ -74,5 +75,64 @@ object CodecProps extends Properties("codecs") {
     }
     val enc = Cbor.encodeJson(json)
     enc != null && Cbor.decodeToJson(enc) == json
+  }
+
+  // ---- framing: encode a frame stream by each mode's own rule, decode
+  // with FrameSplit, require the exact payload list back ----
+
+  private val payloads: SGen[List[Array[Byte]]] =
+    SGen.listOfN(5, SGen.listOf(SGen.choose(0.toByte, 127.toByte))
+      .map(_.filterNot(b => b == '\n' || b == '|').toArray)).map(_.take(5))
+
+  private def decoded(blob: Array[Byte], mode: String, delim: Byte = '\n'): List[List[Byte]] = {
+    val a = FrameSplit.split(blob, mode, delim)
+    if (a == null) null
+    else (0 until a.numElements()).map(i => a.getBinary(i).toList).toList
+  }
+
+  property("framing: length4be / varint / octet / newline all roundtrip") =
+    Prop.forAll(payloads) { ps =>
+      val want = ps.map(_.toList)
+      val l4 = ps.flatMap(p => Array[Byte](
+        (p.length >> 24).toByte, (p.length >> 16).toByte,
+        (p.length >> 8).toByte, p.length.toByte) ++ p).toArray
+      // varint lengths stay < 128 for these sizes → single byte
+      val vi = ps.flatMap(p => p.length.toByte +: p.toList).toArray
+      val oct = ps.flatMap(p => s"${p.length} ".getBytes("US-ASCII") ++ p).toArray
+      val nl = ps.flatMap(p => p.toList :+ '\n'.toByte).toArray
+      (decoded(l4, "length4be") == want) :| "length4be" &&
+      (decoded(vi, "varint") == want) :| "varint" &&
+      (decoded(oct, "octet") == want) :| "octet" &&
+      (ps.forall(_.nonEmpty) ==> ((decoded(nl, "newline") == want) :| "newline"))
+    }
+
+  // a truncated FINAL frame must reject the stream; the final payload must
+  // be non-empty, else dropping one byte removes its length marker and
+  // leaves a shorter but well-formed stream
+  property("framing: truncated length-delimited stream is rejected, not mis-split") =
+    Prop.forAll(payloads, SGen.nonEmptyListOf(SGen.choose(1.toByte, 127.toByte))) {
+      (ps0, last) =>
+        val ps = ps0 :+ last.toArray
+        val vi = ps.flatMap(p => p.length.toByte +: p.toList).toArray
+        decoded(vi.dropRight(1), "varint") == null
+    }
+
+  // ---- protobuf wire: schema-driven encode∘decode identity on a nested
+  // message with repeated + zigzag fields ----
+
+  private val protoSchema = Seq(
+    ProtoField(1, "id", "int64"),
+    ProtoField(2, "name", "string"),
+    ProtoField(3, "vals", "int64", repeated = true),
+    ProtoField(4, "nest", "message", message = Seq(
+      ProtoField(1, "z", "sint64"))))
+
+  property("proto: encode∘decode identity over the wire format") = Prop.forAll(
+    SGen.chooseNum(-1000000L, 1000000L), SGen.alphaNumStr,
+    SGen.listOfN(3, SGen.chooseNum(0L, 1000L)), SGen.chooseNum(-500L, 500L)) {
+    (id, name, vals, z) =>
+      val json = s"""{"id":$id,"name":"$name","vals":[${vals.mkString(",")}],"nest":{"z":$z}}"""
+      val wire = ProtoWire.encodeJson(json, protoSchema)
+      wire != null && ProtoWire.decodeToJson(wire, protoSchema) == json
   }
 }
