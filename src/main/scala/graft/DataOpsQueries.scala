@@ -217,21 +217,25 @@ object DataOpsQueries {
 
     // ---- SimHash near-dup pairs (hamming <= 3 via 4-band pigeonhole) ----
     "d_simhash_pairs" -> ((s, dir) => {
-      Dedupe.simhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"), maxDist = 3)
+      // width pinned (= autoBandBits at this corpus size) so the DuckDB
+      // oracle's re-derivation stays bit-identical
+      Dedupe.simhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"),
+        maxDist = 3, bandBits = 8)
     }),
 
     // ---- near-dup clusters: pairs → connected components (the dedup
     //      GROUPING step — component id = deterministic representative) ----
     "d_neardup_components" -> ((s, dir) => {
       val pairs = Dedupe.simhashNearDups(Tables.documents(s, dir),
-        col("text"), col("doc_id"), maxDist = 3)
+        col("text"), col("doc_id"), maxDist = 3, bandBits = 8)
       Dedupe.components(pairs).select(col("id").as("doc_id"), col("component"))
     }),
 
     // ---- near-dup dedup: keep one survivor per cluster ----
     "d_neardup_dedupe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"), maxDist = 3)
+      val pairs = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"),
+        maxDist = 3, bandBits = 8)
       Dedupe.dedupeByPairs(docs, col("doc_id"), pairs).select(col("doc_id"))
     }),
 
@@ -677,13 +681,14 @@ object DataOpsQueries {
          |FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
          |GROUP BY kind""".stripMargin,
 
-    // Media kNN twin: decode the StubCodec payload IN SQL (hex-slice the
-    // body past the 21-byte header), rebuild the 16-bucket byte histogram,
-    // then exact cosine top-3 — an independent check of the decode path.
+    // Media kNN twin: decode the P5 (PGM) payload IN SQL (hex-slice the
+    // raster past the fixed-width 19-byte Netpbm header), rebuild the
+    // 16-bucket byte histogram, then exact cosine top-3 — an independent
+    // check of the real-codec decode path.
     "m_media_knn" -> {
       val dim16 = 16
       s"""WITH img AS (
-         |  SELECT media_id, substr(hex(payload), 43) AS hx
+         |  SELECT media_id, substr(hex(payload), 39) AS hx
          |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
          |  WHERE kind = 'image'),
          |b AS (SELECT media_id, list_transform(generate_series(1, len(hx)//2),

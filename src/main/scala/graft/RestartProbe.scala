@@ -21,7 +21,10 @@ import graft.pipeline.TokenPipeline
   * re-run). Both must converge to the same committed state.
   *
   * Modes: `--run in sinksRoot jobId` (the killable pass),
-  * `--check in sinksRoot jobId` (re-run + assert; exit 1 on violation).
+  * `--check in sinksRoot jobId` (re-run + assert; exit 1 on violation);
+  * `--run-exclusive`/`--check-exclusive` — the same kill/rerun contract
+  * over [[TokenPipeline.runExclusive]] (first-match single-table sink,
+  * per-doc uniqueness + counters vs the no-IO exclusive oracle).
   */
 object RestartProbe {
 
@@ -68,8 +71,45 @@ object RestartProbe {
       spark.stop()
       if (!(dupFree && countersOk)) sys.exit(1)
 
+    case "--run-exclusive" :: in :: root :: jobId :: Nil =>
+      val spark = session()
+      TokenPipeline.runExclusive(spark, spark.read.parquet(in),
+        Gen.sourceAttrs(spark), TokenPipeline.Config(root, jobId))
+      println("RUN_COMPLETE")
+      spark.stop()
+
+    case "--check-exclusive" :: in :: root :: jobId :: Nil =>
+      // re-run the same jobId after a crash: the snapshot commit must be
+      // idempotent (already-committed jobId appends are no-ops), leaving
+      // exactly one copy of every routed row
+      val spark = session()
+      val (table, counters) = TokenPipeline.runExclusive(spark,
+        spark.read.parquet(in), Gen.sourceAttrs(spark),
+        TokenPipeline.Config(root, jobId))
+      val routed = table.read(spark).get
+      val total = routed.count()
+      // exclusive routing: every doc lands in exactly ONE sink, so doc_id
+      // alone must be unique across the whole table
+      val distinct = routed.select("doc_id").distinct().count()
+      val oracle = TokenPipeline.countersOnlyExclusive(
+          spark.read.parquet(in), Gen.sourceAttrs(spark))
+        .select("sink", "source", "row_count", "sum_n_tok")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val got = counters
+        .select("sink", "source", "row_count", "sum_n_tok")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val dupFree = total == distinct
+      val countersOk = got == oracle
+      println(s"""CHECK_EXCLUSIVE {"rows":$total,"distinct":$distinct,""" +
+        s""""dup_free":$dupFree,"counters_match":$countersOk}""")
+      spark.stop()
+      if (!(dupFree && countersOk)) sys.exit(1)
+
     case other =>
-      System.err.println(s"usage: --run|--check <inputDir> <sinksRoot> <jobId> (got $other)")
+      System.err.println(
+        s"usage: --run|--check|--run-exclusive|--check-exclusive <inputDir> <sinksRoot> <jobId> (got $other)")
       sys.exit(2)
   }
 }

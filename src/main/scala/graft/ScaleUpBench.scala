@@ -102,16 +102,20 @@ object ScaleUpBench {
       println(s"""SCALEUP {"dir":"$dir","total":${results.map(_._2).filter(_ > 0).sum},"queries":$qs}""")
       spark.stop()
 
-    case "--neardup" :: dir :: bandBits :: Nil =>
+    case "--neardup" :: dir :: rest if rest.size <= 1 =>
       // simhash near-dup + survivor selection at a given LSH band width —
       // the scale lever measurement (8-bit bands blow up quadratically at
-      // 50k docs; see Dedupe.simhashNearDups scaladoc)
+      // 50k docs; see Dedupe.simhashNearDups scaladoc). With no width
+      // argument the operator SELF-SIZES (Dedupe.autoBandBits) — the
+      // round-5 scale-safety contract: defaults must survive any corpus.
       val spark = session()
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      docs.count()
+      val nDocs = docs.count()
+      val bandBits = rest.headOption.map(_.toInt)
+        .getOrElse(graft.dedup.Dedupe.autoBandBits(nDocs))
       val t0 = System.nanoTime()
       val pairs = graft.dedup.Dedupe.simhashNearDups(
-        docs, col("text"), col("doc_id"), maxDist = 3, bandBits = bandBits.toInt)
+        docs, col("text"), col("doc_id"), maxDist = 3, bandBits = bandBits)
       val nPairs = pairs.count()
       val tPairs = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
@@ -137,14 +141,16 @@ object ScaleUpBench {
       println(s"""EMBED {"dir":"$dir","n_bits":$nBits,"pairs":$nPairs,"secs":$secs}""")
       spark.stop()
 
-    case "--embed-banded" :: dir :: bands :: rowBits :: Nil =>
+    case "--embed-banded" :: dir :: bands :: rest if rest.size <= 1 =>
+      // no rowBits argument → the operator self-sizes from its own count()
       val spark = session()
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       emb.count()
+      val rowBits = rest.headOption.map(_.toInt).getOrElse(0)
       val t0 = System.nanoTime()
       val nPairs = graft.sim.Similarity.cosineNearDupsBanded(
         emb, col("vec_id"), col("embedding"),
-        threshold = 0.3, bands = bands.toInt, rowBits = rowBits.toInt).count()
+        threshold = 0.3, bands = bands.toInt, rowBits = rowBits).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(s"""EMBED_BANDED {"dir":"$dir","bands":$bands,"row_bits":$rowBits,""" +
         s""""pairs":$nPairs,"secs":$secs}""")

@@ -217,39 +217,57 @@ object Dedupe {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         // setCheckpointDir is SESSION-GLOBAL — only touch it when unset or
-        // actually different, so a caller's pre-configured dir survives
+        // actually different, so a caller's pre-configured dir survives.
+        // SparkContext stores the dir scheme-qualified WITH a random UUID
+        // subdirectory appended, so exact equality never matches — test
+        // that the stored path contains the requested one instead.
         val cur = spark.sparkContext.getCheckpointDir
-        if (!cur.contains(dir)) spark.sparkContext.setCheckpointDir(dir)
+        if (!cur.exists(_.contains(dir))) spark.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }
-    val edges = ckpt(pairs.select(col("id_l").as("a"), col("id_r").as("b"))
-      .unionByName(pairs.select(col("id_r").as("a"), col("id_l").as("b"))))
-    var labels = ckpt(edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")))
+    // Undirected edges PLUS a self-loop per node: neighbor-min over this
+    // set already includes the node's own label, so each superstep is ONE
+    // hash join + ONE aggregate — the previous shape needed a corrective
+    // left join against the old labels as a third join every superstep.
+    val ends = pairs.select(col("id_l").as("a"), col("id_r").as("b"))
+    val nodes = ends.select(col("a"))
+      .unionByName(ends.select(col("b").as("a"))).distinct()
+    val edges = ckpt(ends
+      .unionByName(ends.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(nodes.withColumn("b", col("a"))))
+    // Seed with superstep 1's neighbor-min directly (initial lbl = id, so
+    // min neighbor id IS the first superstep) — one aggregate, no join.
+    var labels = ckpt(edges.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
     // labels only ever DECREASE, so an unchanged label sum ⇔ a fixpoint —
-    // one overflow-safe decimal aggregate per superstep, no compare join
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    // one overflow-safe decimal aggregate, no compare join
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = lblSum(labels)
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       // neighbor-min: adopt the smallest label among self + neighbors
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val afterNbr = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: lbl := lbl(lbl) — halves chains each superstep
-      val jumped = ckpt(afterNbr.alias("x")
-        .join(afterNbr.select(col("id").as("lbl"), col("lbl").as("lbl2")).alias("y"),
+      // (self covered by the self-loop edge)
+      val nbr = edges.join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: lbl := min(lbl, lbl(lbl)) — halves chains each superstep
+      val jumped = ckpt(nbr.alias("x")
+        .join(nbr.select(col("id").as("lbl"), col("lbl").as("lbl2")).alias("y"),
           Seq("lbl"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
-      val newSum = lblSum(jumped)
       labels = jumped
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
       i += 1
+      // Convergence check every 2nd superstep: each check is a driver
+      // barrier (a full-cluster sync at 10^12 rows), and monotone labels
+      // make skipping safe — a fixpoint stays a fixpoint.
+      if (i % 2 == 0 || i >= maxIter) {
+        val newSum = lblSum(labels)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+      }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -310,29 +328,44 @@ object Dedupe {
           .reduce(_ + _).as("sim"))
   }
 
+  /** Auto-sized LSH band width from a corpus row count: buckets stay
+    * ~tens of docs when `bandBits ≈ log2(corpus) − 5`; floored at 8
+    * (the sandbox-validated width for ≤ ~10^4 docs) and capped at 15
+    * (4 bands must fit the 60-bit h15 hash). Measured motivation: the
+    * fixed 8-bit default quadratically blew up at 50 k docs (killed at
+    * 15 min) while width 15 finished in seconds — see BENCH.md.
+    */
+  def autoBandBits(corpusRows: Long): Int = {
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(corpusRows, 1L) - 1)
+    math.min(15, math.max(8, lg - 5))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via a
     * 4-band join (pigeonhole: dist ≤ 3 ⇒ ≥ 1 of 4 bands equal — exact,
     * not probabilistic, for maxDist ≤ 3).
     *
     * SCALE LEVER — `bandBits`: band-bucket count is 2^bandBits per band,
     * and candidate pairs grow with the SQUARE of the mean bucket size
-    * (≈ corpus / 2^bandBits). The 8-bit default (1024 buckets) is right
-    * for ~10^3–10^4 docs; measured at 50 000 synthetic docs it blows past
-    * 15 minutes of quadratic pair generation, while bandBits=15
-    * (signature bits=60) finishes in seconds. Pick
-    * `bandBits ≳ log2(corpus) − 5` so buckets stay ~tens of docs; at
-    * 10^12 docs that points at ~35-bit bands, i.e. partition the corpus
-    * (by source/shard) before simhash banding — documented in BENCH.md.
+    * (≈ corpus / 2^bandBits). Default `bandBits = 0` SELF-SIZES via
+    * [[autoBandBits]] from one cheap `count()` of the input (at cluster
+    * scale a metadata-only parquet/Iceberg count) — the measured
+    * quadratic blowup of a fixed sandbox-sized width at 50 k docs is the
+    * one failure mode a 100 TB caller must not be able to hit by
+    * default. Pass an explicit 1..15 to pin the width (the oracled
+    * driver queries do, keeping their outputs bit-stable); at 10^12 docs
+    * even 15 bits saturates — partition the corpus (by source/shard)
+    * before simhash banding, documented in BENCH.md.
     */
   def simhashNearDups(df: DataFrame, text: Column, id: Column,
-                      maxDist: Int = 3, bandBits: Int = 8): DataFrame = {
+                      maxDist: Int = 3, bandBits: Int = 0): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole covers dist<=3")
-    require(bandBits >= 1 && bandBits <= 15, "4 bands need 4*bandBits <= 60")
-    val bits = 4 * bandBits
-    val mask = (1L << bandBits) - 1
+    require(bandBits >= 0 && bandBits <= 15, "4 bands need 4*bandBits <= 60")
+    val bb = if (bandBits > 0) bandBits else autoBandBits(df.count())
+    val bits = 4 * bb
+    val mask = (1L << bb) - 1
     val sigs = simhashTable(df, text, id, bits)
     val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"), shiftright(col("sim"), bandBits * b).bitwiseAND(lit(mask)).as("band_hash"))
+      struct(lit(b).as("band"), shiftright(col("sim"), bb * b).bitwiseAND(lit(mask)).as("band_hash"))
     }
     val bandsDf = sigs.select(col("id"), col("sim"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))

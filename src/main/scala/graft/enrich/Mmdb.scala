@@ -89,7 +89,11 @@ final class Mmdb(bytes: Array[Byte]) {
   /** Point lookup: dotted-quad or IPv6 text → decoded JSON, null if the
     * address has no record.
     */
-  def lookup(ip: String): String = {
+  def lookup(ip: String): String =
+    try lookupOrThrow(ip)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  private def lookupOrThrow(ip: String): String = {
     val addr16 = graft.functions.IpCrypt.toBytes16(ip)
     if (addr16 == null) return null
     val isV4 = (0 until 10).forall(addr16(_) == 0) &&
@@ -159,7 +163,7 @@ final class Mmdb(bytes: Array[Byte]) {
   /** Decode the value at `off`; returns (json, offsetAfter). `base` is
     * the data-section start (pointer targets are relative to it).
     */
-  private def decode(off: Int, base: Int): (String, Int) = {
+  private def decode(off: Int, base: Int, ptrDepth: Int = 0): (String, Int) = {
     val ctrl = bytes(off) & 0xff
     var typ = ctrl >> 5
     var p = off + 1
@@ -175,7 +179,13 @@ final class Mmdb(bytes: Array[Byte]) {
         case _ => (((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
           ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff), p + 4)
       }
-      return (decode(base + target, base)._1, after)
+      // the MaxMind-DB spec forbids pointers-to-pointers; allow a short
+      // chain but fail (caught by callers' error lanes) on cycles —
+      // unguarded recursion on a corrupt/malicious file would otherwise
+      // die with an uncatchable StackOverflowError
+      if (ptrDepth >= 4)
+        throw new IllegalArgumentException("mmdb: pointer chain too deep (cycle?)")
+      return (decode(base + target, base, ptrDepth + 1)._1, after)
     }
     var size = ctrl & 0x1f
     if (size == 29) { size = 29 + (bytes(p) & 0xff); p += 1 }

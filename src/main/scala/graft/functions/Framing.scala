@@ -189,26 +189,57 @@ object Framing {
   def gelfChunk(c: Column): Column =
     Bridge.column(GelfChunkParse(Bridge.expression(c)))
 
-  /** GELF chunk reassembly (chunked_gelf framing): parse each datagram's
-    * chunk header, then one groupBy(message id) — seq-sorted payload
-    * concat, complete only when all `count` chunks arrived. A narrow
-    * parse + a single id-keyed shuffle; id cardinality = in-flight
-    * messages, so the aggregate is map-side combinable and bounded.
+  /** GELF chunk reassembly with the reference's malformed-stream
+    * semantics (lib/codecs/src/decoding/framing/chunked_gelf.rs): total
+    * chunk count bounded 1..128 and `seq < count` at parse ([[
+    * GelfChunkParse]], rs:361), DUPLICATE chunks ignored (rs:424 —
+    * routine under UDP retransmission; batch has no arrival order, so
+    * the deterministic first-after-sort copy wins), chunks disagreeing
+    * on the total count rejected, and incomplete/invalid messages
+    * surfaced on an `error` lane instead of vanishing (the reference's
+    * per-message 5 s timeout is a streaming concern with no batch
+    * analog — a batch job sees the whole capture).
+    *
+    * Plan: a narrow codegen chunk parse + ONE id-keyed shuffle; id
+    * cardinality = in-flight messages, so the aggregate is map-side
+    * combinable and bounded. The dedupe/concat/count fold runs inside
+    * `aggregate` over the ≤128-element sorted parts array — no second
+    * shuffle. Returns (msg_id, message, error) where error ∈
+    * {null, 'incomplete', 'inconsistent_count'}.
     */
-  def reassembleGelf(df: DataFrame, datagram: String): DataFrame = {
+  def reassembleGelfWithErrors(df: DataFrame, datagram: String): DataFrame = {
     val c = gelfChunk(col(datagram))
-    df.where(c.isNotNull)
+    val folded = df.where(c.isNotNull)
       .select(c.getField("id").as("msg_id"), c.getField("seq").as("seq"),
         c.getField("count").as("cnt"), c.getField("payload").as("payload"))
       .groupBy(col("msg_id"))
       .agg(
-        count(lit(1)).as("got"),
-        max(col("cnt")).as("want"),
+        min(col("cnt")).as("want_min"),
+        max(col("cnt")).as("want_max"),
         array_sort(collect_list(struct(col("seq"), col("payload"))))
           .as("parts"))
-      .where(col("got") === col("want"))
-      .select(col("msg_id"),
-        aggregate(col("parts"), lit(Array.emptyByteArray),
-          (acc, p) => concat(acc, p.getField("payload"))).as("message"))
+      // one pass over the sorted parts: skip repeated seqs (duplicate
+      // chunks), concat payloads, count distinct seqs
+      .withColumn("st", aggregate(col("parts"),
+        struct(lit(-1).as("last"), lit(Array.emptyByteArray).as("acc"),
+          lit(0).as("n")),
+        (st, p) => when(p.getField("seq") === st.getField("last"), st)
+          .otherwise(struct(p.getField("seq").as("last"),
+            concat(st.getField("acc"), p.getField("payload")).as("acc"),
+            (st.getField("n") + lit(1)).as("n")))))
+    folded.select(col("msg_id"),
+      when(col("want_min") === col("want_max") &&
+        col("st.n") === col("want_max"), col("st.acc")).as("message"),
+      when(col("want_min") =!= col("want_max"), lit("inconsistent_count"))
+        .when(col("st.n") < col("want_max"), lit("incomplete"))
+        .as("error"))
   }
+
+  /** Complete messages only — the happy-path view of
+    * [[reassembleGelfWithErrors]] (same single-shuffle plan).
+    */
+  def reassembleGelf(df: DataFrame, datagram: String): DataFrame =
+    reassembleGelfWithErrors(df, datagram)
+      .where(col("error").isNull)
+      .select(col("msg_id"), col("message"))
 }

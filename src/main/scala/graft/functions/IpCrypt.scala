@@ -155,24 +155,35 @@ object IpCrypt {
     out
   }
 
-  /** The full 128-bit prefix space is walked uniformly — an IPv4 input
-    * (lifted to its mapped form) therefore shares its encrypted 96-bit
-    * prefix with every other IPv4 under the same key, preserving prefix
-    * relationships exactly as for native IPv6 prefixes. The construction
-    * is bit-exact against the cue's IPv6 reference vector
-    * (encrypt_ip.cue "Encrypt IPv6 address with prefix-preserving mode");
-    * the cue's IPv4 example uses an unpublished v4-padding detail and
-    * differs (documented in IpCryptSpec).
+  /** ipcrypt-pfx per the published IPCrypt specification. IPv6 walks the
+    * full 128-bit prefix space; the construction is bit-exact against the
+    * cue's IPv6 reference vector (encrypt_ip.cue "Encrypt IPv6 address
+    * with prefix-preserving mode"). IPv4 follows the spec's v4 branch:
+    * the v4-mapped prefix (bits 0..95) is copied VERBATIM, only the low
+    * 32 bits are encrypted (pad starts from the 96-bit mapped prefix —
+    * the spec's pad_prefix_96), and the output is a dotted quad — so
+    * v4-in/v4-out and v4 prefix relationships are preserved at every
+    * length. NOTE: the cue's single IPv4 pfx example predates this spec
+    * rule and is reproducible by neither the spec construction nor the
+    * previous full-128-bit walk (probed; documented in Wave6Spec) — the
+    * published spec is authoritative here.
     */
   private def pfx(ip16: Array[Byte], key: Array[Byte], enc: Boolean): Array[Byte] = {
     val k1 = java.util.Arrays.copyOfRange(key, 0, 16)
     val k2 = java.util.Arrays.copyOfRange(key, 16, 32)
     if (java.util.Arrays.equals(k1, k2)) return null
     val out = new Array[Byte](16)
+    val v4 = isV4Mapped(ip16)
     // plain holds the PLAINTEXT bits (the pad input); when decrypting we
     // reconstruct it progressively from the decrypted output bits
     val plain = if (enc) ip16.clone() else new Array[Byte](16)
     var bit = 0
+    if (v4) {
+      // spec: prefix_start = 96 — mapped prefix copied, not encrypted
+      System.arraycopy(ip16, 0, out, 0, 12)
+      if (!enc) System.arraycopy(ip16, 0, plain, 0, 12)
+      bit = 96
+    }
     while (bit < 128) {
       val padded = padPrefix(plain, bit)
       val c = (aesBlock(k1, padded, true)(15) ^ aesBlock(k2, padded, true)(15)) & 1
@@ -200,7 +211,11 @@ object IpCrypt {
         case _ => return null
       }
       if (out == null) return null
-      UTF8String.fromString(if (enc) format(out) else formatMaybeV4(out))
+      // pfx is v4-in/v4-out per the spec (mapped prefix copied verbatim);
+      // aes128 always emits full IPv6 text (the cue's documented shape)
+      val txt =
+        if (!enc || mode == "pfx") formatMaybeV4(out) else format(out)
+      UTF8String.fromString(txt)
     } catch { case _: Exception => null }
   }
 

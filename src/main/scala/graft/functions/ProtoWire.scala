@@ -119,6 +119,14 @@ object ProtoWire {
       while (i >= 0) { v = (v << 8) | (b(p + i) & 0xffL); i -= 1 } // little-endian
       p += n; v
     }
+    /** Length prefix for a length-delimited payload: must be a
+      * non-negative Int — a 64-bit varint whose low 32 bits are negative
+      * as Int would otherwise REWIND the cursor and loop forever. */
+    def len(): Int = {
+      val v = varint()
+      require(v >= 0 && v <= Int.MaxValue, "proto: negative/oversized length")
+      v.toInt
+    }
     def bytes(n: Int): Array[Byte] = {
       require(n >= 0 && p + n <= end, "proto: truncated bytes")
       val r = java.util.Arrays.copyOfRange(b, p, p + n); p += n; r
@@ -151,13 +159,13 @@ object ProtoWire {
             case (5, "fixed32") => buf += (r.fixed(4) & 0xffffffffL).toString
             case (5, "sfixed32") => buf += r.fixed(4).toInt.toString
             case (2, "string") =>
-              buf += jsonStr(new String(r.bytes(r.varint().toInt),
+              buf += jsonStr(new String(r.bytes(r.len()),
                 java.nio.charset.StandardCharsets.UTF_8))
             case (2, "bytes") =>
               buf += jsonStr(java.util.Base64.getEncoder.encodeToString(
-                r.bytes(r.varint().toInt)))
+                r.bytes(r.len())))
             case (2, "message") =>
-              val n = r.varint().toInt
+              val n = r.len()
               val s = r.p
               r.p += n
               require(r.p <= end, "proto: truncated message")
@@ -166,7 +174,7 @@ object ProtoWire {
                 t == "double" || t == "float" ||
                 t.startsWith("fixed") || t.startsWith("sfixed")) =>
               // packed repeated scalars
-              val n = r.varint().toInt
+              val n = r.len()
               val pr = new Reader(b, r.p, r.p + n)
               require(r.p + n <= end, "proto: truncated packed")
               while (pr.hasMore) buf += (t match {
@@ -187,7 +195,7 @@ object ProtoWire {
           wt match {
             case 0 => r.varint(): Unit
             case 1 => r.fixed(8): Unit
-            case 2 => val n = r.varint().toInt; r.bytes(n): Unit
+            case 2 => r.bytes(r.len()): Unit
             case 5 => r.fixed(4): Unit
             case _ => throw new IllegalArgumentException(s"proto: wire type $wt")
           }

@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * expression ([[ShannonEntropy]]); most have a DuckDB twin in
   * FunctionQueries.oracleSql (crc32/hmac/sha512 have no DuckDB analog and
   * are verified against the JVM reference implementations in HashSpec).
-  * Deliberately NOT ported: protobuf/cbor codecs, MaxMind lookups (no
-  * data; the CIDR table shape is `Enrich.cidrLookup`), random_*
-  * (nondeterministic by design — Spark `rand` with a seed is the analog).
+  * Binary codecs and MaxMind lookups ARE ported elsewhere in this
+  * package: protobuf wire ([[ProtoWire]]), CBOR ([[Cbor]]), OTLP
+  * ([[graft.parse]]'s Otlp schema over ProtoWire), MaxMind-DB reader
+  * (graft.enrich.Mmdb). Deliberately NOT ported: the `lua` transform
+  * (scripting engine, out of scope since r1) and vector's internal
+  * `native` wire codec (not a public interchange format); `random_*`
+  * are seeded-deterministic analogs (nondeterminism by design has no
+  * replayable batch meaning).
   */
 object Vrl {
 

@@ -9,10 +9,13 @@ import graft.core.Mix
   * pipelines: media as opaque `binary` payloads + typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The actual codecs (JPEG/PNG/opus/h264) are STUBBED — this container has
-  * no image/audio libraries — behind [[StubCodec]], a deterministic fake
-  * that round-trips a self-describing binary layout. Everything around the
-  * codec is real and is the part that matters at 100 TB:
+  * IMAGES use a REAL codec: [[Netpbm]] (P5/P6, the public Netpbm binary
+  * formats) — genuine encode + full-spec-parser decode, pure JVM. Audio
+  * and video stay behind [[StubCodec]], a deterministic fake that
+  * round-trips a self-describing layout — no audio/video codec libraries
+  * exist in this container, and that boundary is documented where a real
+  * integration (e.g. JavaCV) would slot in. Everything around the codecs
+  * is real and is the part that matters at 100 TB:
   *
   *  - schema: `(media_id long, kind string, payload binary, meta struct)`,
   *    media bytes NEVER pass through a shuffle unless the operator needs
@@ -35,13 +38,14 @@ object Multimodal {
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
                                 meanLuma: Double, histogram: Array[Float])
 
-  /** Deterministic fake codec. Layout (big-endian):
-    * magic "GRFT"(4) | kind(1) | width(4) | height(4) | sampleRate(4) |
-    * nFrames(4) | pixel/sample bytes (hash-derived).
+  /** Deterministic fake codec for AUDIO/VIDEO payloads. Layout
+    * (big-endian): magic "GRFT"(4) | kind(1) | width(4) | height(4) |
+    * sampleRate(4) | nFrames(4) | pixel/sample bytes (hash-derived).
     *
     * ??? REAL-CODEC BOUNDARY: `decode`/`encode` below are the two methods a
-    * real integration replaces (e.g. TwelveMonkeys ImageIO / JavaCV). The
-    * byte-plumbing, schema and batching around them stay unchanged.
+    * real audio/video integration replaces (e.g. JavaCV). Images already
+    * crossed this boundary — see [[Netpbm]]. The byte-plumbing, schema and
+    * batching around the codec stay unchanged either way.
     */
   object StubCodec {
     val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
@@ -85,8 +89,13 @@ object Multimodal {
       val h = 8 + Mix.bounded(0x3D1C, id, 3, 24)
       val rate = if (kind == "audio") 16000 else 0
       val frames = if (kind == "video") 2 + Mix.bounded(0x3D1D, id, 4, 6) else 1
-      MediaRow(id, kind, StubCodec.encode(id, kind, w, h, rate, frames),
-        MediaMeta(w, h, rate, frames, "grft"))
+      if (kind == "image")
+        // real P5 (PGM) payload — hash-derived but spec-conformant pixels
+        MediaRow(id, kind, Netpbm.encodeP5(w, h, StubCodec.pixelBytes(id, w * h)),
+          MediaMeta(w, h, rate, frames, "pgm"))
+      else
+        MediaRow(id, kind, StubCodec.encode(id, kind, w, h, rate, frames),
+          MediaMeta(w, h, rate, frames, "grft"))
     }
   }
 
@@ -100,8 +109,10 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch codec init would go here (real codecs amortize setup)
         batch.iterator.map { row =>
-          val (_, w, h, _, _, body) = StubCodec.decode(row.payload)
-          DecodedImage(row.media_id, w, h, meanLuma(body), histogram16(body))
+          val img = Netpbm.decode(row.payload) // real spec parse
+          val body = img.gray
+          DecodedImage(row.media_id, img.width, img.height,
+            meanLuma(body), histogram16(body))
         }
       }
     }
@@ -115,7 +126,8 @@ object Multimodal {
     media.map { row =>
       if (row.kind != "image") row
       else {
-        val (_, w, h, rate, frames, body) = StubCodec.decode(row.payload)
+        val img = Netpbm.decode(row.payload)
+        val (w, h, body) = (img.width, img.height, img.gray)
         val out = new Array[Byte](newW * newH)
         var y = 0
         while (y < newH) {
@@ -125,10 +137,8 @@ object Multimodal {
           }
           y += 1
         }
-        val bb = java.nio.ByteBuffer.allocate(21 + out.length)
-        bb.put(StubCodec.Magic).put(1.toByte).putInt(newW).putInt(newH)
-          .putInt(rate).putInt(frames).put(out)
-        row.copy(payload = bb.array(), meta = row.meta.copy(width = newW, height = newH))
+        row.copy(payload = Netpbm.encodeP5(newW, newH, out),
+          meta = row.meta.copy(width = newW, height = newH))
       }
     }
   }

@@ -103,6 +103,20 @@ object TokenPipeline {
       .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
   }
 
+  /** Exclusive first-match counters without sink IO — the no-IO oracle for
+    * [[runExclusive]] restart checks (same dataflow + Route.exclusive, no
+    * write, no snapshot read-back).
+    */
+  def countersOnlyExclusive(input: DataFrame, attrs: DataFrame,
+                            longMin: Int = 1024): DataFrame = {
+    val (flagged, _) = dataflow(input, attrs, longMin)
+    Route.exclusive(
+        flagged.drop(flagged.columns.filter(_.startsWith("_route_")): _*),
+        routes(longMin))
+      .groupBy(col("sink"), col("source"))
+      .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
+  }
+
   /** Exclusive-route committed run: first-match-wins routing written as ONE
     * snapshot table partitioned by (sink, source) — a single pass and a
     * single write job instead of one filtered write per sink. This is the

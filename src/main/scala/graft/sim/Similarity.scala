@@ -75,22 +75,28 @@ object Similarity {
     * Scale shape: candidate generation is `bands` bucket-keyed joins in one
     * plan (explode + join on (band, bucket)); cosine + threshold run
     * BEFORE the pair-distinct so the dedup shuffle carries only surviving
-    * (id, id, cos) triples, never vectors. Pick `rowBits ≳ log2(corpus) −
-    * 5` like the simhash band lever; raise `bands` to buy recall at
-    * linear candidate cost.
+    * (id, id, cos) triples, never vectors. Default `rowBits = 0`
+    * SELF-SIZES to `clamp(ceil(log2(corpus)) − 5, 8, 62/bands)` from one
+    * cheap `count()` (the measured failure mode of a fixed sandbox width:
+    * 954 s single-bucket saturation at 500 k vectors — BENCH.md); pass an
+    * explicit value to pin it (the oracled driver queries do). Raise
+    * `bands` to buy recall at linear candidate cost.
     */
   def cosineNearDupsBanded(df: DataFrame, id: Column, vec: Column,
                            threshold: Double, bands: Int = 4,
-                           rowBits: Int = 8): DataFrame = {
-    require(bands >= 1 && rowBits >= 1 && bands * rowBits <= 62,
+                           rowBits: Int = 0): DataFrame = {
+    require(bands >= 1 && rowBits >= 0 && bands * rowBits <= 62,
       s"bands*rowBits must fit a long, got $bands*$rowBits")
-    val mask = (1L << rowBits) - 1
+    val rb =
+      if (rowBits > 0) rowBits
+      else math.min(62 / bands, graft.dedup.Dedupe.autoBandBits(df.count()))
+    val mask = (1L << rb) - 1
     val base = df.select(id.as("id"), vec.as("v"))
-      .withColumn("sig", signBucket(col("v"), bands * rowBits))
+      .withColumn("sig", signBucket(col("v"), bands * rb))
       .withColumn("nrm", norm(col("v")))
     val bandStructs = (0 until bands).map { k =>
       struct(lit(k).as("band"),
-        shiftright(col("sig"), k * rowBits).bitwiseAND(lit(mask)).as("bucket"))
+        shiftright(col("sig"), k * rb).bitwiseAND(lit(mask)).as("bucket"))
     }
     val banded = base
       .select(col("id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))

@@ -112,6 +112,25 @@ class DataOpsSpec extends SparkSpec {
       ((graft.core.Mix.mix64(id * 131L + d) % 1000L) / 1000.0f)))
   }.toDF("vec_id", "embedding")
 
+  test("autoBandBits: clamp(ceil(log2(corpus)) - 5, 8, 15) — the self-sizing " +
+    "LSH width formula (sandbox-measured: fixed 8-bit bands blow up at 50k docs)") {
+    assert(Dedupe.autoBandBits(0L) == 8)
+    assert(Dedupe.autoBandBits(1L) == 8)
+    assert(Dedupe.autoBandBits(500L) == 8) // sf0.1 documents corpus → old default
+    assert(Dedupe.autoBandBits(8192L) == 8) // 2^13: 13-5 = 8
+    assert(Dedupe.autoBandBits(8193L) == 9) // ceil(log2) = 14
+    assert(Dedupe.autoBandBits(50000L) == 11) // the measured blowup point → 11
+    assert(Dedupe.autoBandBits(1L << 20) == 15) // 2^20: 20-5 = 15 (cap)
+    assert(Dedupe.autoBandBits(Long.MaxValue) == 15) // hard cap: 4 bands * 15 <= 60
+    // auto width (bandBits omitted) equals the pinned old default at
+    // sandbox corpus sizes — the oracled queries stay bit-identical
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val auto = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"), maxDist = 3)
+    val pinned = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"),
+      maxDist = 3, bandBits = 8)
+    assert(auto.collect().toSet == pinned.collect().toSet)
+  }
+
   test("connected components: chains, stars, disjoint clusters, determinism") {
     // chain 0..19 (diameter 19 — pointer jumping must converge inside
     // maxIter), star at 100, pair at 200

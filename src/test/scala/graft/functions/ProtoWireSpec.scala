@@ -43,6 +43,25 @@ class ProtoWireSpec extends AnyFunSuite {
       Seq(ProtoField(3, "c", "int32"))) == "{\"c\":5}")
   }
 
+  test("negative length varints → null, never a cursor rewind / hang") {
+    // nested-message length 0xFFFFFFFA (negative as Int) — an unchecked
+    // `toInt` would rewind the cursor and loop forever
+    val nested = Seq(ProtoField(1, "m", "message",
+      message = Seq(ProtoField(1, "x", "int32"))))
+    assert(ProtoWire.decodeToJson(hex("0a faffffff0f"), nested) == null)
+    // same malformed length on a packed repeated field
+    assert(ProtoWire.decodeToJson(hex("0a faffffff0f"),
+      Seq(ProtoField(1, "d", "int32", repeated = true))) == null)
+    // and on string / bytes / unknown-field skip paths
+    assert(ProtoWire.decodeToJson(hex("0a faffffff0f"),
+      Seq(ProtoField(1, "s", "string"))) == null)
+    assert(ProtoWire.decodeToJson(hex("0a faffffff0f"),
+      Seq(ProtoField(2, "other", "int32"))) == null)
+    // a length that exceeds Int.MaxValue (fits a varint, not an Int)
+    assert(ProtoWire.decodeToJson(hex("0a ffffffffff7f"),
+      Seq(ProtoField(1, "s", "string"))) == null)
+  }
+
   test("schema-order output, last-wins merge, missing fields absent") {
     // wire has no 2 before no 1; JSON emits schema order
     assert(ProtoWire.decodeToJson(hex("100208 01"),

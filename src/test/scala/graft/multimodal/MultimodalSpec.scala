@@ -16,13 +16,42 @@ class MultimodalSpec extends SparkSpec {
     assert(sch("meta").dataType.typeName == "struct")
   }
 
-  test("codec round trip: decode(encode(x)) recovers dims and content") {
+  test("codec round trip: image payloads are REAL P5 files that re-decode") {
     val rows = media.filter(col("kind") === "image").limit(10).collect()
     rows.foreach { r =>
-      val (kind, w, h, _, frames, body) = StubCodec.decode(r.payload)
-      assert(kind == "image" && w == r.meta.width && h == r.meta.height)
-      assert(body.length == w * h * frames)
+      assert(Netpbm.isNetpbm(r.payload))
+      val img = Netpbm.decode(r.payload)
+      assert(img.format == "P5" && img.width == r.meta.width && img.height == r.meta.height)
+      assert(img.raster.length == img.width * img.height)
+      // raster content is the deterministic per-id pixel stream
+      assert(java.util.Arrays.equals(img.raster,
+        StubCodec.pixelBytes(r.media_id, img.width * img.height)))
     }
+  }
+
+  test("netpbm golden images: exact bytes, spec-parser header handling") {
+    // golden 2x2 P5: fixed-width header + raster 00 7f 80 ff
+    val raster = Array[Byte](0x00, 0x7f, 0x80.toByte, 0xff.toByte)
+    val enc = Netpbm.encodeP5(2, 2, raster)
+    val expected = "P5\n00002 00002\n255\n".getBytes("US-ASCII") ++ raster
+    assert(java.util.Arrays.equals(enc, expected))
+    assert(enc.length == Netpbm.HeaderLen + 4)
+    // decoder accepts ANY conformant header: comments, loose whitespace
+    val loose = "P5 # a comment\n  2\t2 # dims\n255\n".getBytes("US-ASCII") ++ raster
+    val img = Netpbm.decode(loose)
+    assert(img.width == 2 && img.height == 2)
+    assert(java.util.Arrays.equals(img.raster, raster))
+    // P6 RGB: pure red/green/blue/white → BT.601 luma bytes
+    val rgb = Array[Byte](
+      0xff.toByte, 0, 0, 0, 0xff.toByte, 0,
+      0, 0, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    val p6 = Netpbm.decode(Netpbm.encodeP6(2, 2, rgb))
+    assert(p6.gray.map(_ & 0xff).toSeq == Seq(
+      255 * 299 / 1000, 255 * 587 / 1000, 255 * 114 / 1000, 255))
+    // malformed: truncated raster, maxval > 255, bad magic
+    intercept[IllegalArgumentException](Netpbm.decode("P5\n2 2\n255\n\u0000".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](Netpbm.decode(("P5\n2 2\n65535\n" + "\u0000" * 8).getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](Netpbm.decode("P4\n2 2\n".getBytes("US-ASCII")))
   }
 
   test("decode stage: typed output, mean luma and histogram sane") {
@@ -39,8 +68,8 @@ class MultimodalSpec extends SparkSpec {
     val out = resizeImages(media, 4, 4).collect()
     out.filter(_.kind == "image").foreach { r =>
       assert(r.meta.width == 4 && r.meta.height == 4)
-      val (_, w, h, _, _, body) = StubCodec.decode(r.payload)
-      assert(w == 4 && h == 4 && body.length >= 16)
+      val img = Netpbm.decode(r.payload)
+      assert(img.width == 4 && img.height == 4 && img.raster.length == 16)
     }
     val origAudio = media.filter(col("kind") === "audio").count()
     assert(out.count(_.kind == "audio").toLong == origAudio)
