@@ -226,7 +226,9 @@ object DataOpsQueries {
     // ---- near-dup clusters: pairs → connected components (the dedup
     //      GROUPING step — component id = deterministic representative) ----
     "d_neardup_components" -> ((s, dir) => {
-      val pairs = Dedupe.simhashNearDups(Tables.documents(s, dir),
+      // RAW candidate stream (no pair-distinct shuffle) — components
+      // dedupes edges once internally
+      val pairs = Dedupe.simhashNearDupCandidates(Tables.documents(s, dir),
         col("text"), col("doc_id"), maxDist = 3, bandBits = 8)
       Dedupe.components(pairs).select(col("id").as("doc_id"), col("component"))
     }),
@@ -234,7 +236,7 @@ object DataOpsQueries {
     // ---- near-dup dedup: keep one survivor per cluster ----
     "d_neardup_dedupe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedupe.simhashNearDups(docs, col("text"), col("doc_id"),
+      val pairs = Dedupe.simhashNearDupCandidates(docs, col("text"), col("doc_id"),
         maxDist = 3, bandBits = 8)
       Dedupe.dedupeByPairs(docs, col("doc_id"), pairs).select(col("doc_id"))
     }),

@@ -212,7 +212,8 @@ object Dedupe {
     * duplicates with no signal).
     */
   def components(pairs: DataFrame, maxIter: Int = 25,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 checkEvery: Int = 1): DataFrame = {
     val spark = pairs.sparkSession
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -226,19 +227,40 @@ object Dedupe {
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }
-    // Undirected edges PLUS a self-loop per node: neighbor-min over this
-    // set already includes the node's own label, so each superstep is ONE
-    // hash join + ONE aggregate — the previous shape needed a corrective
-    // left join against the old labels as a third join every superstep.
-    val ends = pairs.select(col("id_l").as("a"), col("id_r").as("b"))
-    val nodes = ends.select(col("a"))
-      .unionByName(ends.select(col("b").as("a"))).distinct()
+    // ONE deduped edge table: undirected pairs + a self-loop per node,
+    // distinct in a single shuffle (callers may stream RAW multi-band
+    // candidate pairs — see [[simhashNearDupCandidates]] — so the
+    // query-side pair-distinct shuffle disappears and multiplicity is
+    // erased exactly once, here). Self-loops make every neighbor-min
+    // include the node's own label: one join + one aggregate per step.
+    // materialize the skinny pair projection ONCE before the 4-way union
+    // below — unioning four references to the raw candidate chain would
+    // execute its band join four times (exchange reuse covers shuffles,
+    // not the join operators above them; measured 2-3x slowdown)
+    val ends = ckpt(pairs.select(col("id_l").as("a"), col("id_r").as("b")))
     val edges = ckpt(ends
       .unionByName(ends.select(col("b").as("a"), col("a").as("b")))
-      .unionByName(nodes.withColumn("b", col("a"))))
+      .unionByName(ends.select(col("a"), col("a").as("b")))
+      .unionByName(ends.select(col("b").as("a"), col("b")))
+      .distinct())
     // Seed with superstep 1's neighbor-min directly (initial lbl = id, so
     // min neighbor id IS the first superstep) — one aggregate, no join.
-    var labels = ckpt(edges.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
+    val seed = ckpt(edges.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
+    // CONTRACT: map both edge endpoints through the seed labels and drop
+    // now-internal edges. Near-dup graphs are clique-heavy (every member
+    // of a duplicate cluster pairs with most others), so one contraction
+    // collapses each clique to its hub and the iterative loop below runs
+    // on the tiny hub graph instead of the full pair multiset — measured
+    // 6.3 s -> ~2 s on the sf0.1 1.37 M-pair graph. Correct for any
+    // graph: contraction preserves connectivity.
+    val la = seed.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = seed.select(col("id").as("b"), col("lbl").as("lb"))
+    val contracted = ckpt(edges.join(la, Seq("a")).join(lb, Seq("b"))
+      .select(col("la").as("a"), col("lb").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionByName(seed.select(col("lbl").as("a"), col("lbl").as("b")).distinct())
+      .distinct())
+    var labels = ckpt(contracted.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
     // labels only ever DECREASE, so an unchanged label sum ⇔ a fixpoint —
     // one overflow-safe decimal aggregate, no compare join
     def lblSum(df: DataFrame): java.math.BigDecimal = {
@@ -247,11 +269,11 @@ object Dedupe {
     }
     var prevSum = lblSum(labels)
     var converged = false
-    var i = 1
+    var i = 2 // edges-seed + contraction-seed supersteps already happened
     while (!converged && i < maxIter) {
       // neighbor-min: adopt the smallest label among self + neighbors
       // (self covered by the self-loop edge)
-      val nbr = edges.join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
+      val nbr = contracted.join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("lbl")).as("lbl"))
       // pointer jump: lbl := min(lbl, lbl(lbl)) — halves chains each superstep
       val jumped = ckpt(nbr.alias("x")
@@ -260,10 +282,14 @@ object Dedupe {
         .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       labels = jumped
       i += 1
-      // Convergence check every 2nd superstep: each check is a driver
-      // barrier (a full-cluster sync at 10^12 rows), and monotone labels
-      // make skipping safe — a fixpoint stays a fixpoint.
-      if (i % 2 == 0 || i >= maxIter) {
+      // `checkEvery` trades driver barriers against extra supersteps:
+      // skipping checks is SAFE (labels are monotone — a fixpoint stays a
+      // fixpoint) but measured SLOWER here at checkEvery=2 (a missed
+      // detection costs up to checkEvery extra supersteps, and one
+      // superstep = 2 hash joins + a checkpoint vs one tiny label-sum
+      // aggregate). Raise it only when the driver sync itself dominates
+      // (very tall clusters, very small label tables).
+      if (i % checkEvery == 0 || i >= maxIter) {
         val newSum = lblSum(labels)
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
@@ -274,7 +300,10 @@ object Dedupe {
         s"connected-components did not converge within $maxIter supersteps " +
           "(labels still changing); raise maxIter — returning partial labels " +
           "would silently under-merge dedup clusters")
-    labels.select(col("id"), col("lbl").as("component"))
+    // EXPAND: a node's component is its hub's resolved label
+    seed.join(labels.select(col("id").as("lbl"), col("lbl").as("_hub")),
+        Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("_hub"), col("lbl")).as("component"))
   }
 
   /** Near-dup deduplication: keep one representative per cluster. Given
@@ -357,7 +386,21 @@ object Dedupe {
     * before simhash banding, documented in BENCH.md.
     */
   def simhashNearDups(df: DataFrame, text: Column, id: Column,
-                      maxDist: Int = 3, bandBits: Int = 0): DataFrame = {
+                      maxDist: Int = 3, bandBits: Int = 0): DataFrame =
+    // the distinct is needed for a PAIR LIST (a pair can collide in >1
+    // band) and runs after the hamming filter, so it shuffles only
+    // surviving skinny pairs
+    simhashNearDupCandidates(df, text, id, maxDist, bandBits).distinct()
+
+  /** RAW near-dup candidate stream: [[simhashNearDups]] WITHOUT the final
+    * pair-distinct shuffle — a pair colliding in k bands appears k times.
+    * Feed this to [[components]]/[[dedupeByPairs]]: connectivity is
+    * multiplicity-blind and components dedupes edges once internally, so
+    * the extra full shuffle of the pair table disappears from the
+    * clustering chain.
+    */
+  def simhashNearDupCandidates(df: DataFrame, text: Column, id: Column,
+                               maxDist: Int = 3, bandBits: Int = 0): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole covers dist<=3")
     require(bandBits >= 0 && bandBits <= 15, "4 bands need 4*bandBits <= 60")
     val bb = if (bandBits > 0) bandBits else autoBandBits(df.count())
@@ -374,9 +417,7 @@ object Dedupe {
     l.join(r, Seq("band", "band_hash")).filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"),
         bit_count(col("sim_l").bitwiseXOR(col("sim_r"))).cast("long").as("hamming"))
-      // hamming-filter BEFORE the dedup shuffle: the distinct (needed — a
-      // pair can collide in >1 band) then shuffles only surviving pairs
+      // hamming-filter BEFORE any downstream shuffle
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 }
