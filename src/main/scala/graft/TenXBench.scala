@@ -110,26 +110,36 @@ object TenXBench {
       spark.read.parquet(s"$dir/documents.parquet").count()
       spark.range(0, 1000000).selectExpr("sum(id)").collect()
     }
-    val out = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_PASSES=2 (default): a warm pass absorbs per-query
+    // codegen/JIT compile, the second pass is the timed one — without it
+    // the early-alphabet queries' ratios are compile noise, not data
+    // scale. A pass-1 timeout/failure is recorded as-is (no retry).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    def guarded(name: String): Double = {
       val t0 = System.nanoTime()
       val fut = exec.submit(new java.util.concurrent.Callable[Long] {
         override def call(): Long = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          fn(spark, dir).count()
+          SparkEntry.queries(name)(spark, dir).count()
         }
       })
+      try { fut.get(timeoutSecs.toLong, TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          System.err.println(s"[tenx] TIMEOUT $name after ${timeoutSecs}s")
+          -2.0
+        case e: Throwable =>
+          System.err.println(s"[tenx] FAIL $name: ${e.getMessage}")
+          -1.0
+      }
+    }
+    val out = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val first = guarded(name)
       val secs =
-        try { fut.get(timeoutSecs.toLong, TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
-            fut.cancel(true)
-            System.err.println(s"[tenx] TIMEOUT $name after ${timeoutSecs}s")
-            -2.0
-          case e: Throwable =>
-            System.err.println(s"[tenx] FAIL $name: ${e.getMessage}")
-            -1.0
-        }
+        if (first < 0 || passes <= 1) first
+        else (2 to passes).map(_ => guarded(name)).min
       println(f"[tenx] $name%-28s $secs%.3f")
       name -> secs
     }
