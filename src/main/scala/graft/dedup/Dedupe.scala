@@ -260,6 +260,12 @@ object Dedupe {
       .filter(col("a") =!= col("b"))
       .unionByName(seed.select(col("lbl").as("a"), col("lbl").as("b")).distinct())
       .distinct())
+    // superseded checkpoints release their block-store memory NOW — every
+    // consumer above is already eagerly materialized; leaving them pinned
+    // until driver GC measured as multi-second eviction cliffs on
+    // back-to-back clustering runs
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(ends)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(edges)
     var labels = ckpt(contracted.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
     // labels only ever DECREASE, so an unchanged label sum ⇔ a fixpoint —
     // one overflow-safe decimal aggregate, no compare join
@@ -280,6 +286,7 @@ object Dedupe {
         .join(nbr.select(col("id").as("lbl"), col("lbl").as("lbl2")).alias("y"),
           Seq("lbl"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
+      if (i > 2) org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(labels)
       labels = jumped
       i += 1
       // `checkEvery` trades driver barriers against extra supersteps:
