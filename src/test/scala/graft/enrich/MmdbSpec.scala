@@ -170,6 +170,23 @@ class MmdbSpec extends SparkSpec {
     assert(sizes == (1L << 24))
   }
 
+  test("corrupt pointer cycle: lookup returns null, never StackOverflowError") {
+    // a data record that is a POINTER to data-section offset 0 — i.e. to
+    // itself: ctrl 0x20 (type 1, ss=0, v=0) + 0x00. The spec forbids
+    // pointers-to-pointers; a malicious/corrupt file must fail with the
+    // caught error lane, not an uncatchable StackOverflowError.
+    val evil = MmdbWriter.write(Seq("1.2.3.0/24" -> Array[Byte](0x20, 0x00)))
+    val db = new Mmdb(evil)
+    assert(db.lookup("1.2.3.4") == null)
+    // and a healthy record in the same file still resolves
+    val mixed = MmdbWriter.write(Seq(
+      "1.2.3.0/24" -> Array[Byte](0x20, 0x00),
+      "9.9.9.0/24" -> MmdbWriter.str("fine")))
+    val db2 = new Mmdb(mixed)
+    assert(db2.lookup("1.2.3.4") == null)
+    assert(db2.lookup("9.9.9.9") == "\"fine\"")
+  }
+
   test("enrich: broadcast cidr join matches point lookups") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.42.9.9", "192.168.1.77", "8.8.8.8").toDF("ip")
