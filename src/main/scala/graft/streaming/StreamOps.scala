@@ -201,6 +201,88 @@ object StreamOps {
       }
   }
 
+  final case class GelfChunk(msg_id: String, seq: Int, cnt: Int,
+                             payload: Array[Byte], ts: java.sql.Timestamp)
+  final case class GelfPart(seq: Int, payload: Array[Byte])
+  final case class GelfAsmState(cnt: Int, firstMs: Long, parts: List[GelfPart])
+  final case class GelfMessage(msg_id: String, message: Array[Byte], error: String)
+
+  /** STREAMING chunked-GELF reassembly — the true form of the
+    * reference's decoder (lib/codecs/src/decoding/framing/
+    * chunked_gelf.rs): chunks of one message arrive interleaved over
+    * time, buffered per message id, and a message that stays incomplete
+    * for `timeoutMs` past its FIRST chunk (rs:23-24 — 5 s default) is
+    * flushed to the error lane instead of leaking state forever. This is
+    * the semantics the batch [[graft.functions.Framing
+    * .reassembleGelfWithErrors]] cannot express (a batch job sees the
+    * whole capture, so "too late" has no meaning there).
+    *
+    * Same malformed-stream contract as batch: duplicate (id, seq) chunks
+    * ignored keeping the first arrival (rs:424), chunks disagreeing on
+    * the total count fail the message immediately with
+    * `inconsistent_count` (state dropped — bounded even under a
+    * hostile stream), completion emits the seq-ordered concatenation
+    * with a null error. Parse-level bounds (count 1..128, seq < count)
+    * live in [[graft.functions.GelfChunkParse]] upstream.
+    *
+    * Scale: state is keyed by msg_id → partitioned by the shuffle;
+    * per-message state is ≤128 payloads and lives at most `timeoutMs`
+    * past the watermark, so total state is O(in-flight messages) —
+    * exactly the reference's `pending` map + tokio timeout task, minus
+    * the per-message task spawn. Caller must `withWatermark` the source.
+    */
+  def reassembleGelfStream(ds: Dataset[GelfChunk],
+                           timeoutMs: Long = 5000L): Dataset[GelfMessage] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.msg_id)
+      .flatMapGroupsWithState[GelfAsmState, GelfMessage](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (id, rows, state: GroupState[GelfAsmState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(_ => GelfMessage(id, null, "timeout"))
+            state.remove()
+            out.iterator
+          } else {
+            // event-time order with the ordered-input fast path (same
+            // memory note as throttleStream): "first arrival wins" for
+            // duplicate seqs must be deterministic in a batch replay.
+            val buf = new scala.collection.mutable.ArrayBuffer[GelfChunk]()
+            var ordered = true
+            var prevTs = Long.MinValue
+            rows.foreach { r =>
+              if (r.ts.getTime < prevTs) ordered = false
+              prevTs = r.ts.getTime
+              buf += r
+            }
+            val rs = if (ordered) buf else buf.sortInPlace()(Ordering.by(_.ts.getTime))
+            var st = state.getOption.orNull
+            var verdict: GelfMessage = null
+            val it = rs.iterator
+            while (verdict == null && it.hasNext) {
+              val r = it.next()
+              if (st == null) st = GelfAsmState(r.cnt, r.ts.getTime, Nil)
+              if (r.cnt != st.cnt)
+                verdict = GelfMessage(id, null, "inconsistent_count")
+              else if (!st.parts.exists(_.seq == r.seq)) {
+                st = st.copy(parts = GelfPart(r.seq, r.payload) :: st.parts)
+                if (st.parts.length == st.cnt) {
+                  val whole = st.parts.sortBy(_.seq).iterator
+                    .map(_.payload).reduce(_ ++ _)
+                  verdict = GelfMessage(id, whole, null)
+                }
+              } // else: duplicate chunk, ignore (rs:424)
+            }
+            if (verdict != null) { state.remove(); Iterator.single(verdict) }
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.firstMs + timeoutMs, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Exactly-once streaming sink into a [[graft.table.SnapshotTable]]:
     * `foreachBatch` with the micro-batch id as the commit jobId — a
     * replayed batch (failure/restart) hits the idempotent-commit guard and

@@ -180,4 +180,58 @@ class StreamOpsSpec extends SparkSpec {
     val got = spark.table("th2").as[Keyed].collect().map(_.payload).sorted
     assert(got.toSeq == Seq("w1-1", "w1-2", "w2-11", "w2-12"))
   }
+
+  private def chunk(id: String, seq: Int, cnt: Int, p: String, t: Int) =
+    GelfChunk(id, seq, cnt, p.getBytes("UTF-8"), ts(t))
+
+  test("streaming gelf: interleaved chunks reassemble across batches; dup seq keeps first arrival") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[GelfChunk]
+    val out = reassembleGelfStream(in.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.toDF().writeStream.format("memory").queryName("gelf1")
+      .outputMode("append").start()
+    try {
+      // two messages interleaved, m1's chunks out of order and split
+      // across micro-batches; a duplicate (m1, seq 0) with different
+      // bytes arrives later and must be ignored
+      in.addData(chunk("m1", 1, 3, "BB", 1), chunk("m2", 0, 2, "xx", 1))
+      q.processAllAvailable()
+      in.addData(chunk("m1", 0, 3, "AA", 2), chunk("m1", 0, 3, "ZZ", 3),
+        chunk("m2", 1, 2, "yy", 2), chunk("m1", 2, 3, "CC", 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gelf1").as[GelfMessage].collect()
+      .map(m => m.msg_id -> (new String(m.message, "UTF-8"), m.error)).toMap
+    assert(got == Map("m1" -> ("AABBCC", null), "m2" -> ("xxyy", null)))
+  }
+
+  test("streaming gelf: inconsistent total fails fast; incomplete message times out to the error lane") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[GelfChunk]
+    val out = reassembleGelfStream(in.toDS().withWatermark("ts", "0 seconds"),
+      timeoutMs = 5000L)
+    val q = out.toDF().writeStream.format("memory").queryName("gelf2")
+      .outputMode("append").start()
+    try {
+      in.addData(chunk("bad", 0, 3, "aa", 1), chunk("bad", 1, 4, "bb", 2), // count disagrees
+        chunk("slow", 0, 2, "s0", 1)) // never completed
+      q.processAllAvailable()
+      // advance the watermark past slow's firstMs + 5s with a
+      // self-contained single-chunk message (completes + clears state)
+      in.addData(chunk("late", 0, 1, "ok", 10))
+      q.processAllAvailable()
+      in.addData(chunk("late2", 0, 1, "ok", 12)) // one more batch to fire the timeout
+      q.processAllAvailable()
+      val got = spark.table("gelf2").as[GelfMessage].collect()
+        .map(m => m.msg_id -> m.error).toMap
+      assert(got("bad") == "inconsistent_count")
+      assert(got("slow") == "timeout")
+      assert(got("late") == null && got("late2") == null)
+      // failed/timed-out messages leave no state behind
+      val lastState = q.recentProgress.reverse
+        .flatMap(_.stateOperators.headOption).headOption
+      assert(lastState.exists(_.numRowsTotal == 0L),
+        s"state not cleared: ${lastState.map(_.numRowsTotal)}")
+    } finally q.stop()
+  }
 }
