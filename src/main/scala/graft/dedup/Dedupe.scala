@@ -227,25 +227,25 @@ object Dedupe {
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }
-    // ONE deduped edge table: undirected pairs + a self-loop per node,
-    // distinct in a single shuffle (callers may stream RAW multi-band
-    // candidate pairs — see [[simhashNearDupCandidates]] — so the
-    // query-side pair-distinct shuffle disappears and multiplicity is
-    // erased exactly once, here). Self-loops make every neighbor-min
-    // include the node's own label: one join + one aggregate per step.
-    // materialize the skinny pair projection ONCE before the 4-way union
-    // below — unioning four references to the raw candidate chain would
-    // execute its band join four times (exchange reuse covers shuffles,
-    // not the join operators above them; measured 2-3x slowdown)
+    // materialize the skinny pair projection ONCE before the 2-way union
+    // below — unioning two references to the raw candidate chain would
+    // execute its band join twice (exchange reuse covers shuffles, not
+    // the join operators above them; measured 2-3x slowdown). Callers may
+    // stream RAW multi-band candidate pairs — see
+    // [[simhashNearDupCandidates]] — multiplicity is erased by the
+    // map-side combine of the seed aggregate and the hub-graph distinct
+    // below; no full-size pair-distinct shuffle ever runs.
     val ends = ckpt(pairs.select(col("id_l").as("a"), col("id_r").as("b")))
-    val edges = ckpt(ends
-      .unionByName(ends.select(col("b").as("a"), col("a").as("b")))
-      .unionByName(ends.select(col("a"), col("a").as("b")))
-      .unionByName(ends.select(col("b").as("a"), col("b")))
-      .distinct())
-    // Seed with superstep 1's neighbor-min directly (initial lbl = id, so
-    // min neighbor id IS the first superstep) — one aggregate, no join.
-    val seed = ckpt(edges.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
+    // Seed = superstep 1's neighbor-min, computed straight off the raw
+    // DIRECTED pair stream: pairs arrive id_l < id_r, so only the
+    // incoming (id_l) side can ever beat a node's own id — lbl(n) =
+    // min(n, min{a : (a,n)}). One map-side-combinable aggregate whose
+    // shuffle is ~node-count, replacing the former full-size undirected
+    // edge-table distinct (2× pairs + self-loops, the widest shuffle of
+    // the old plan).
+    val seed = ckpt(ends.select(col("a").as("id"), col("a").as("cand"))
+      .unionByName(ends.select(col("b").as("id"), col("a").as("cand")))
+      .groupBy(col("id")).agg(min(col("cand")).as("lbl")))
     // CONTRACT: map both edge endpoints through the seed labels and drop
     // now-internal edges. Near-dup graphs are clique-heavy (every member
     // of a duplicate cluster pairs with most others), so one contraction
@@ -253,11 +253,18 @@ object Dedupe {
     // on the tiny hub graph instead of the full pair multiset — measured
     // 6.3 s -> ~2 s on the sf0.1 1.37 M-pair graph. Correct for any
     // graph: contraction preserves connectivity.
+    // Hub edges are symmetrized by an explode (2 rows per surviving
+    // mapped pair, one scan of `ends`) and self-looped; the distinct runs
+    // on the CONTRACTED label space — near-dup cliques have already
+    // collapsed, so this shuffle is hub-graph-sized, not pair-sized.
     val la = seed.select(col("id").as("a"), col("lbl").as("la"))
     val lb = seed.select(col("id").as("b"), col("lbl").as("lb"))
-    val contracted = ckpt(edges.join(la, Seq("a")).join(lb, Seq("b"))
-      .select(col("la").as("a"), col("lb").as("b"))
-      .filter(col("a") =!= col("b"))
+    val contracted = ckpt(ends.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .select(explode(array(
+        struct(col("la").as("a"), col("lb").as("b")),
+        struct(col("lb").as("a"), col("la").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .unionByName(seed.select(col("lbl").as("a"), col("lbl").as("b")).distinct())
       .distinct())
     // superseded checkpoints release their block-store memory NOW — every
@@ -265,7 +272,6 @@ object Dedupe {
     // until driver GC measured as multi-second eviction cliffs on
     // back-to-back clustering runs
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(ends)
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(edges)
     var labels = ckpt(contracted.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")))
     // labels only ever DECREASE, so an unchanged label sum ⇔ a fixpoint —
     // one overflow-safe decimal aggregate, no compare join
