@@ -188,6 +188,32 @@ object DataOpsQueries {
         budget = 8192, shards = 4).toDF()
     }),
 
+    // ---- deterministic source-mixing sampler (training mixture rebalance;
+    //      hash-keyed so the sample is replay-stable and oracle-exact) ----
+    "p_mix_sample" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.tokens.TokenOps.mixStats(
+        Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF()
+          .select(col("doc_id"), col("n_tok"), col("source")))
+    }),
+
+    // ---- substring-level dedup: winnowing fingerprints over token runs
+    //      (alignment-free; selection happens BEFORE the only shuffle) ----
+    "d_substring_dup" -> ((s, _) => {
+      graft.tokens.Winnow.dupStats(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF())
+    }),
+
+    // ---- corpus unigram top-k (vocab coverage / boilerplate audit):
+    //      explode → map-side-combined count → deterministic total order ----
+    "t_token_unigrams" -> ((s, _) => {
+      graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF()
+        .select(explode(col("tokens")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)
+    }),
+
     // ---- exact dedup (hash-groupBy, smallest-id representative) ----
     "d_dedupe_exact" -> ((s, dir) => {
       Dedupe.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
@@ -429,6 +455,51 @@ object DataOpsQueries {
     // Spark side uses, so bin assignment matches bit-for-bit.
     "p_pack_sequences" -> duckPackSql(budget = 8192, shards = 1),
     "p_pack_sharded" -> duckPackSql(budget = 8192, shards = 4),
+
+    // mixing sampler twin: same h15-threshold keep rule, CASE generated
+    // from the same DefaultMixPpm Seq the Spark when-chain folds over.
+    "p_mix_sample" -> {
+      val cases = graft.tokens.TokenOps.DefaultMixPpm
+        .map { case (src, ppm) => s"WHEN '$src' THEN $ppm" }.mkString(" ")
+      s"""WITH g AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen10k/*.parquet')),
+         |k AS (SELECT source, n_tok,
+         |        (${dH15("doc_id")} % 1000000) <
+         |        CASE source $cases ELSE 0 END AS keep
+         |      FROM g)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY source""".stripMargin
+    },
+
+    // winnowing substring-dup twin: identical k-gram h15 hashes, identical
+    // window-min selection (k=16, w=8 — the Winnow.K/Winnow.W defaults).
+    "d_substring_dup" -> {
+      val k = graft.tokens.Winnow.K; val w = graft.tokens.Winnow.W
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')
+         |           WHERE n_tok >= ${k + w - 1}),
+         |g AS (SELECT doc_id, source,
+         |        list_transform(generate_series(1, n_tok - ${k - 1}),
+         |          i -> ${dH15(s"array_to_string(list_slice(tokens, i, i+${k - 1}),',')")}) AS gh
+         |      FROM d),
+         |f AS (SELECT doc_id, source,
+         |        list_distinct(list_transform(generate_series(1, len(gh) - ${w - 1}),
+         |          j -> list_min(list_slice(gh, j, j+${w - 1})))) AS fps
+         |      FROM g),
+         |e AS (SELECT doc_id, source, unnest(fps) AS fp FROM f),
+         |s AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM e GROUP BY fp)
+         |SELECT e.doc_id, e.source, count(*) AS n_fp,
+         |       CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fp
+         |FROM e JOIN s USING (fp)
+         |GROUP BY e.doc_id, e.source
+         |HAVING CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
+    },
+
+    "t_token_unigrams" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest(tokens) AS token
+         |      FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet'))
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "d_curation_pipeline" -> {
       val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>

@@ -34,6 +34,8 @@ object SparkEntry {
     "gen10k" -> (s => slimGen(s, 10000, 8)),
     "gen50k" -> (s => slimGen(s, 50000, 16)),
     "source_attrs" -> (s => graft.core.Gen.sourceAttrs(s)),
+    "gen_boiler" -> (s =>
+      graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF()),
     "media2k" -> (s =>
       graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()))
 

@@ -1,6 +1,6 @@
 package graft.tokens
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.text.Hashing
@@ -62,6 +62,49 @@ object TokenOps {
         }
       }
   }
+
+  /** Default training-mixture rates (parts-per-million kept) — the usual
+    * rebalance away from the crawl-heavy raw distribution (the generator's
+    * `web` source holds ~50% of rows; a training mix downsamples it and
+    * upsamples the curated sources). Stable `Seq` so the Spark when-chain
+    * and the DuckDB CASE are generated in the same order.
+    */
+  val DefaultMixPpm: Seq[(String, Int)] = Seq(
+    "web" -> 120000, "books" -> 600000, "code" -> 1000000,
+    "wiki" -> 800000, "chat" -> 250000, "forum" -> 500000)
+
+  /** ppm rate column for a row's source; unknown sources (the generator's
+    * `ghost` lane) default to 0 — excluded from the mix.
+    */
+  private def mixRate(ratesPpm: Seq[(String, Int)]): Column = {
+    require(ratesPpm.forall { case (_, r) => r >= 0 && r <= 1000000 },
+      "mix rates are ppm in [0, 1000000]")
+    ratesPpm.foldLeft(lit(0)) { case (acc, (src, ppm)) =>
+      when(col("source") === src, lit(ppm)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic source-mixing sampler: keep a row iff
+    * `h15(doc_id) mod 1e6 < ppm(source)` — the data-mixing stage of a
+    * training pipeline (rebalance sources to a target mixture). Hash-keyed
+    * (never `rand()`): the sample is a pure function of doc_id, so reruns,
+    * retries, and different parallelism levels select the SAME rows, and a
+    * SQL oracle reproduces the selection exactly. Narrow (no shuffle);
+    * composes with [[packSequences]] downstream.
+    */
+  def mixSample(df: DataFrame, ratesPpm: Seq[(String, Int)] = DefaultMixPpm): DataFrame =
+    df.filter(pmod(Hashing.h15(col("doc_id")), lit(1000000L)) < mixRate(ratesPpm))
+
+  /** Mixture audit: per-source totals vs kept docs/tokens under
+    * [[mixSample]]'s selection — the counter surface a mixing stage emits.
+    */
+  def mixStats(df: DataFrame, ratesPpm: Seq[(String, Int)] = DefaultMixPpm): DataFrame =
+    df.withColumn("keep",
+        pmod(Hashing.h15(col("doc_id")), lit(1000000L)) < mixRate(ratesPpm))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok").cast("long")).otherwise(0L)).as("kept_tokens"))
 
   /** Packing efficiency summary rolled up per source: bins across all
     * shards, mean fill fraction. Bin identity is (source, shard, bin).

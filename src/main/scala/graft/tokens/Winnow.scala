@@ -1,0 +1,122 @@
+package graft.tokens
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Gen, GenConfig, Mix, TokenSeq}
+import graft.text.Hashing
+
+/** Substring-level duplicate detection over the pre-tokenized sequence
+  * table via winnowing fingerprints (Schleimer, Wilkerson, Aiken —
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD '03).
+  *
+  * Why winnowing and not strided k-grams: duplicated token runs (web
+  * boilerplate, license headers, repeated chat templates) appear at
+  * ARBITRARY offsets in each document, so any fixed-stride window scheme
+  * misses misaligned copies. Winnowing selects, per position window of
+  * `w` consecutive k-gram hashes, the minimum hash — a content-defined
+  * choice that is alignment-free and carries the guarantee that any
+  * shared run of at least `w + k - 1` tokens yields at least one shared
+  * fingerprint.
+  *
+  * Scale shape (the reason this beats stride-1 k-gram shuffling at
+  * 10^12 rows): k-gram hashing and window-min selection are NARROW,
+  * per-row array computations inside whole-stage codegen — only the
+  * selected fingerprints (~`2/(w+1)` of positions, ×`array_distinct`)
+  * ever reach the single fingerprint-keyed shuffle. A mega-shared
+  * fingerprint (site-wide boilerplate) is the same hot-bucket shape as
+  * MinHash band buckets; the per-fingerprint aggregate is
+  * map-side-combinable so the hot key costs one reducer, not a pair
+  * explosion — dup detection here is per-DOC stats, never pair
+  * materialization.
+  *
+  * Cross-engine determinism: gram identity is [[Hashing.h15]] of the
+  * comma-joined token string (md5-prefix, identical in Spark and DuckDB),
+  * so the DuckDB oracle reproduces fingerprints bit-exactly; the 60-bit
+  * space makes accidental collisions negligible (and the oracle computes
+  * the same function either way).
+  *
+  * Reference anchor: the reference's dedupe transform is event-level
+  * (src/transforms/dedupe/common.rs) — substring-level dedup is part of
+  * the training-data-pipeline surface this library adds on top (builder
+  * brief; Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL '22 motivates the token-run granularity).
+  */
+object Winnow {
+
+  /** Default gram size (tokens per k-gram). */
+  val K = 16
+
+  /** Default winnowing window (guarantee threshold = K + W - 1 = 23). */
+  val W = 8
+
+  /** Deterministic boilerplate-injecting token generator: the base
+    * [[Gen.rowOf]] stream with `sharePct`% of documents carrying one of
+    * `blocks` shared `blockLen`-token runs spliced at a per-doc
+    * deterministic offset. Pure function of the row id — identical at any
+    * parallelism (same contract as [[Gen.tokenseq]]); the synthetic analog
+    * of real-corpus boilerplate for the substring-dedup oracles.
+    */
+  def genWithBoilerplate(spark: SparkSession, rows: Long, parts: Int,
+                         maxTok: Int = 384, blocks: Int = 24,
+                         blockLen: Int = 96, sharePct: Int = 35): Dataset[TokenSeq] = {
+    import spark.implicits._
+    val cfg = GenConfig(rows = rows, maxTok = maxTok)
+    spark.range(0, rows, 1, parts).as[Long].map { id =>
+      val base = Gen.rowOf(id, cfg)
+      val pick = Mix.bounded(0xB011L, id, 7, 100)
+      if (pick < sharePct && base.n_tok >= blockLen + 8) {
+        val blk = Mix.bounded(0xB022L, id, 8, blocks)
+        val off = Mix.bounded(0xB033L, id, 9, base.n_tok - blockLen + 1)
+        val t = base.tokens.clone()
+        var j = 0
+        while (j < blockLen) {
+          t(off + j) = ((Mix.mix64(0xB10CL + blk.toLong * 131071L + j) >>> 1) % cfg.vocab).toInt
+          j += 1
+        }
+        base.copy(tokens = t)
+      } else base
+    }
+  }
+
+  /** 60-bit hash per k-gram position: `gh[i] = h15(tokens[i..i+k-1])`
+    * (1-based, `size - k + 1` entries). Narrow, codegen'd.
+    */
+  private def gramHashes(tokens: Column, k: Int): Column =
+    transform(sequence(lit(1), size(tokens) - (k - 1)),
+      i => Hashing.h15(array_join(
+        transform(slice(tokens, i, lit(k)), t => t.cast("string")), ",")))
+
+  /** Winnowing fingerprints, exploded to `(doc_id, source, fp)`. Documents
+    * shorter than `k + w - 1` tokens carry no fingerprint (dropped — below
+    * the detection guarantee on BOTH engines). Fingerprints are distinct
+    * per doc.
+    */
+  def fingerprints(df: DataFrame, k: Int = K, w: Int = W): DataFrame =
+    df.filter(col("n_tok") >= k + w - 1)
+      .withColumn("gh", gramHashes(col("tokens"), k))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+            j => array_min(slice(col("gh"), j, lit(w)))))).as("fp"))
+
+  /** Per-document substring-duplication stats: of the doc's `n_fp`
+    * winnowing fingerprints, `dup_fp` also occur in at least one OTHER
+    * document. Docs with `dup_fp = 0` are filtered (the interesting lane —
+    * a curation pipeline drops or trims the high-`dup_fp/n_fp` tail).
+    *
+    * Plan: narrow fingerprint selection → one fp-keyed aggregate
+    * (map-side combinable `countDistinct` seeded by doc) → fp-keyed join
+    * back → doc-keyed aggregate. Both shuffles are on the winnowed
+    * (~2/(w+1)-selected) fingerprint stream, never on raw positions.
+    */
+  def dupStats(df: DataFrame, k: Int = K, w: Int = W): DataFrame = {
+    val fp = fingerprints(df, k, w)
+    val shared = fp.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    fp.join(shared, "fp")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_fp"))
+      .filter(col("dup_fp") > 0)
+  }
+}
