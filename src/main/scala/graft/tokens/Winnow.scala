@@ -90,9 +90,25 @@ object Winnow {
   /** Winnowing fingerprints, exploded to `(doc_id, source, fp)`. Documents
     * shorter than `k + w - 1` tokens carry no fingerprint (dropped — below
     * the detection guarantee on BOTH engines). Fingerprints are distinct
-    * per doc.
+    * per doc. Computed by the native
+    * [[graft.functions.WinnowFingerprints]] expression (one pass, no
+    * interpreted HOF lambdas — 45 s → seconds at 100 k docs);
+    * [[fingerprintsColumns]] is the value-identical column formulation the
+    * spec pins it against.
     */
-  def fingerprints(df: DataFrame, k: Int = K, w: Int = W): DataFrame =
+  def fingerprints(df: DataFrame, k: Int = K, w: Int = W): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.filter(col("n_tok") >= k + w - 1)
+      .select(col("doc_id"), col("source"),
+        explode(Bridge.column(graft.functions.WinnowFingerprints(
+          Bridge.expression(col("tokens")), k, w))).as("fp"))
+  }
+
+  /** Pure-builtin twin of [[fingerprints]] (interpreted HOF lambdas — the
+    * mechanism oracle for the native expression, and the direct analog of
+    * the DuckDB oracle SQL).
+    */
+  def fingerprintsColumns(df: DataFrame, k: Int = K, w: Int = W): DataFrame =
     df.filter(col("n_tok") >= k + w - 1)
       .withColumn("gh", gramHashes(col("tokens"), k))
       .select(col("doc_id"), col("source"),
@@ -108,10 +124,24 @@ object Winnow {
     * Plan: narrow fingerprint selection → one fp-keyed aggregate
     * (map-side combinable `countDistinct` seeded by doc) → fp-keyed join
     * back → doc-keyed aggregate. Both shuffles are on the winnowed
-    * (~2/(w+1)-selected) fingerprint stream, never on raw positions.
+    * (~2/(w+1)-selected) fingerprint stream, never on raw positions. The
+    * fp stream is materialized ONCE before its two consumers (the
+    * aggregate's partial-agg plan differs from the join side's, so
+    * exchange reuse cannot cover it; measured ~1.9× at 100 k docs) —
+    * `localCheckpoint` single-JVM, reliable `checkpoint(dir)` on clusters
+    * via `checkpointDir` (the [[graft.dedup.Dedupe.components]] contract).
     */
-  def dupStats(df: DataFrame, k: Int = K, w: Int = W): DataFrame = {
-    val fp = fingerprints(df, k, w)
+  def dupStats(df: DataFrame, k: Int = K, w: Int = W,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val raw = fingerprints(df, k, w)
+    val fp = checkpointDir match {
+      case Some(dir) =>
+        val spark = df.sparkSession
+        val cur = spark.sparkContext.getCheckpointDir
+        if (!cur.exists(_.contains(dir))) spark.sparkContext.setCheckpointDir(dir)
+        raw.checkpoint(eager = true)
+      case None => raw.localCheckpoint(true)
+    }
     val shared = fp.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("ndocs"))
     fp.join(shared, "fp")
       .groupBy(col("doc_id"), col("source"))

@@ -60,6 +60,15 @@ class WinnowSpec extends SparkSpec {
     assert(out("b")._2 >= 1 && out("b")._2 <= out("b")._1)
   }
 
+  test("native WinnowFingerprints equals the builtin column formulation") {
+    val sample = Winnow.genWithBoilerplate(spark, rows = 300, parts = 4).toDF()
+    val native = Winnow.fingerprints(sample)
+      .select("doc_id", "fp").as[(String, Long)].collect().toSet
+    val builtin = Winnow.fingerprintsColumns(sample)
+      .select("doc_id", "fp").as[(String, Long)].collect().toSet
+    assert(native == builtin && native.nonEmpty)
+  }
+
   test("boilerplate generator is parallelism-invariant and actually injects shared runs") {
     val p2 = Winnow.genWithBoilerplate(spark, rows = 400, parts = 2).collect()
       .sortBy(_.doc_id)
