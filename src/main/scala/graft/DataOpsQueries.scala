@@ -204,6 +204,21 @@ object DataOpsQueries {
         graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF())
     }),
 
+    // ---- paragraph-level dedup, first occurrence wins (MassiveText-style;
+    //      skew-safe min-struct agg + streamed join, no window) ----
+    "d_para_dedupe" -> ((s, _) => {
+      graft.text.ParagraphDedup.dedupeFirstWins(
+        graft.text.ParagraphDedup.genParaDocs(s, rows = 4000, parts = 8).toDF())
+    }),
+
+    // ---- paragraph boilerplate strip: every copy of any paragraph seen in
+    //      >= 3 distinct docs is removed (CCNet-style frequency policy) ----
+    "d_para_common" -> ((s, _) => {
+      graft.text.ParagraphDedup.stripCommon(
+        graft.text.ParagraphDedup.genParaDocs(s, rows = 4000, parts = 8).toDF(),
+        minDocs = 3)
+    }),
+
     // ---- corpus unigram top-k (vocab coverage / boilerplate audit):
     //      explode → map-side-combined count → deterministic total order ----
     "t_token_unigrams" -> ((s, _) => {
@@ -494,6 +509,39 @@ object DataOpsQueries {
          |GROUP BY e.doc_id, e.source
          |HAVING CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
     },
+
+    // paragraph-dedup twins: identical h15 paragraph hashes; first-wins via
+    // min(ROW(doc_id, idx)), frequency policy via distinct-doc counts.
+    "d_para_dedupe" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_para/*.parquet')),
+         |g AS (SELECT doc_id, source, string_split(text, chr(10)||chr(10)) AS ps FROM d),
+         |p AS (SELECT doc_id, source,
+         |        unnest(generate_series(1, len(ps))) - 1 AS idx,
+         |        unnest(ps) AS para
+         |      FROM g),
+         |h AS (SELECT *, ${dH15("para")} AS ph FROM p),
+         |f AS (SELECT ph, min(ROW(doc_id, idx)) AS frst FROM h GROUP BY ph),
+         |k AS (SELECT h.*, h.doc_id = f.frst[1] AND h.idx = f.frst[2] AS keep
+         |      FROM h JOIN f USING (ph))
+         |SELECT doc_id, source, count(*) AS n_para,
+         |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |       string_agg(CASE WHEN keep THEN para END, chr(10)||chr(10) ORDER BY idx) AS clean_text
+         |FROM k GROUP BY doc_id, source""".stripMargin,
+
+    "d_para_common" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_para/*.parquet')),
+         |g AS (SELECT doc_id, source, string_split(text, chr(10)||chr(10)) AS ps FROM d),
+         |p AS (SELECT doc_id, source,
+         |        unnest(generate_series(1, len(ps))) - 1 AS idx,
+         |        unnest(ps) AS para
+         |      FROM g),
+         |h AS (SELECT *, ${dH15("para")} AS ph FROM p),
+         |f AS (SELECT ph, count(DISTINCT doc_id) AS ndocs FROM h GROUP BY ph),
+         |k AS (SELECT h.*, f.ndocs < 3 AS keep FROM h JOIN f USING (ph))
+         |SELECT doc_id, source, count(*) AS n_para,
+         |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |       string_agg(CASE WHEN keep THEN para END, chr(10)||chr(10) ORDER BY idx) AS clean_text
+         |FROM k GROUP BY doc_id, source""".stripMargin,
 
     "t_token_unigrams" ->
       s"""SELECT token, count(*) AS n

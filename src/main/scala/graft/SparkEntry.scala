@@ -36,6 +36,8 @@ object SparkEntry {
     "source_attrs" -> (s => graft.core.Gen.sourceAttrs(s)),
     "gen_boiler" -> (s =>
       graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF()),
+    "gen_para" -> (s =>
+      graft.text.ParagraphDedup.genParaDocs(s, rows = 4000, parts = 8).toDF()),
     "media2k" -> (s =>
       graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()))
 
