@@ -157,6 +157,32 @@ object ScaleUpBench {
         s""""fp_secs":$fpSecs,"secs":$secs,"secs_cold":${timed.head._2}}""")
       spark.stop()
 
+    case "--para" :: nDocs :: rest if rest.size <= 1 =>
+      // paragraph-dedup scale probe (gen_para shape — ~40% of paragraph
+      // slots draw from a FIXED 24-paragraph boilerplate pool, so per-hash
+      // copy counts grow LINEARLY with the corpus: the hot-key regime the
+      // min-struct partial agg + streamed probe join is built for).
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_para_input")
+      graft.text.ParagraphDedup.genParaDocs(spark, nDocs.toLong, parts = 32)
+        .toDF().write.mode("overwrite").parquet(s"$dir/paradocs.parquet")
+      val df = spark.read.parquet(s"$dir/paradocs.parquet")
+      def probe(out: DataFrame): (org.apache.spark.sql.Row, Double) = {
+        val timed = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val r = out.agg(sum(col("n_para")).as("n_para"),
+            sum(col("n_removed")).as("n_removed")).collect()(0)
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        (timed.head._1, timed.map(_._2).min)
+      }
+      val (fw, fwSecs) = probe(graft.text.ParagraphDedup.dedupeFirstWins(df))
+      val (fc, fcSecs) = probe(graft.text.ParagraphDedup.stripCommon(df, minDocs = 3))
+      println(s"""PARA {"docs":$nDocs,"n_para":${fw.getLong(0)},""" +
+        s""""removed_firstwins":${fw.getLong(1)},"secs_firstwins":$fwSecs,""" +
+        s""""removed_common":${fc.getLong(1)},"secs_common":$fcSecs}""")
+      spark.stop()
+
     case "--embed" :: dir :: nBits :: Nil =>
       // embedding cosine near-dup at a given sign-bucket width — the same
       // scale lever as simhash bandBits: 2^nBits buckets, candidates grow
