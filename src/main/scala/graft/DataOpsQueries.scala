@@ -197,6 +197,39 @@ object DataOpsQueries {
           .select(col("doc_id"), col("n_tok"), col("source")))
     }),
 
+    // ---- context-window chunking: doc → maxLen-token training windows
+    //      with overlap (fully narrow: sequence + slice + one explode) ----
+    "p_chunk_sequences" -> ((s, _) => {
+      graft.tokens.TokenOps.chunkSequences(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        maxLen = 128, overlap = 32)
+        .select(col("doc_id"), col("source"), col("chunk_idx"), col("chunk_len"),
+          graft.tokens.TokenOps.contentHash(col("chunk_tokens")).as("chunk_hash"))
+    }),
+
+    // ---- token-level benchmark decontamination: corpus docs sharing any
+    //      13-gram with the bench set (bench grams broadcast; corpus scans
+    //      once, narrow gram hashing before its only shuffle) ----
+    "d_token_decontam" -> ((s, _) => {
+      val corpus = graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF()
+      val bench = graft.tokens.Winnow.genWithBoilerplate(s, rows = 200, parts = 4,
+        startId = 5000000L).toDF()
+      graft.tokens.TokenOps.tokenContamination(corpus, bench, n = 13)
+    }),
+
+    // ---- incremental ingest dedup: bloom fast-pass (no false negatives)
+    //      + exact anti join on the tiny maybe-lane; mBits deliberately
+    //      small here so false positives actually exercise the resolver ----
+    "d_incr_dedupe" -> ((s, _) => {
+      val all = graft.tokens.Winnow.genWithDups(s, corpusRows = 4000,
+        batchRows = 1500, parts = 8).toDF()
+      graft.tokens.TokenOps.incrementalDedupe(
+          all.filter(col("lane") === "corpus"), all.filter(col("lane") === "batch"),
+          mBits = 1L << 14, k = 3)
+        .select(col("doc_id"), col("source"),
+          graft.tokens.TokenOps.contentHash(col("tokens")).as("content_hash"))
+    }),
+
     // ---- substring-level dedup: winnowing fingerprints over token runs
     //      (alignment-free; selection happens BEFORE the only shuffle) ----
     "d_substring_dup" -> ((s, _) => {
@@ -486,6 +519,51 @@ object DataOpsQueries {
          |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM k GROUP BY source""".stripMargin
     },
+
+    // context-window chunking twin: identical chunk-count formula, 1-based
+    // inclusive slices, h15 content hash per chunk (maxLen=128, overlap=32).
+    "p_chunk_sequences" -> {
+      val ml = 128; val st = 96
+      val sliceE = s"list_slice(tokens, chunk_idx*$st + 1, chunk_idx*$st + $ml)"
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |c AS (SELECT doc_id, source, tokens,
+         |        unnest(generate_series(0, CASE WHEN n_tok <= $ml THEN 0
+         |          ELSE (n_tok - $ml + ${st - 1}) // $st END)) AS chunk_idx
+         |      FROM d)
+         |SELECT doc_id, source, chunk_idx,
+         |  CAST(len($sliceE) AS BIGINT) AS chunk_len,
+         |  ${dH15(s"array_to_string($sliceE, ',')")} AS chunk_hash
+         |FROM c""".stripMargin
+    },
+
+    // token-level decontamination twin: distinct 13-gram h15 sets both
+    // sides, bench-side global distinct, per-doc hit counts.
+    "d_token_decontam" -> {
+      val n = 13
+      val gramsE = s"list_distinct(list_transform(generate_series(1, n_tok - ${n - 1}), " +
+        s"i -> ${dH15(s"array_to_string(list_slice(tokens, i, i+${n - 1}), ',')")}))"
+      s"""WITH b AS (SELECT DISTINCT g FROM (
+         |        SELECT unnest($gramsE) AS g
+         |        FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_bench/*.parquet')
+         |        WHERE n_tok >= $n)),
+         |g AS (SELECT doc_id, source, $gramsE AS gs
+         |      FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')
+         |      WHERE n_tok >= $n),
+         |e AS (SELECT doc_id, source, CAST(len(gs) AS BIGINT) AS n_grams,
+         |        unnest(gs) AS g FROM g)
+         |SELECT doc_id, source, n_grams, count(*) AS hit_grams
+         |FROM e JOIN b USING (g)
+         |GROUP BY doc_id, source, n_grams""".stripMargin
+    },
+
+    // incremental-dedup twin: the bloom pre-filter has no false negatives,
+    // so exact output semantics are a pure content-hash anti join.
+    "d_incr_dedupe" ->
+      s"""WITH d AS (SELECT *, ${dH15("array_to_string(tokens, ',')")} AS ch
+         |           FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_incr/*.parquet'))
+         |SELECT doc_id, source, ch AS content_hash
+         |FROM d WHERE lane = 'batch'
+         |  AND ch NOT IN (SELECT ch FROM d WHERE lane = 'corpus')""".stripMargin,
 
     // winnowing substring-dup twin: identical k-gram h15 hashes, identical
     // window-min selection (k=16, w=8 — the Winnow.K/Winnow.W defaults).

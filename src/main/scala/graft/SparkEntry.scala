@@ -38,6 +38,12 @@ object SparkEntry {
       graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF()),
     "gen_para" -> (s =>
       graft.text.ParagraphDedup.genParaDocs(s, rows = 4000, parts = 8).toDF()),
+    "gen_bench" -> (s =>
+      graft.tokens.Winnow.genWithBoilerplate(s, rows = 200, parts = 4,
+        startId = 5000000L).toDF()),
+    "gen_incr" -> (s =>
+      graft.tokens.Winnow.genWithDups(s, corpusRows = 4000, batchRows = 1500,
+        parts = 8).toDF()),
     "media2k" -> (s =>
       graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()))
 

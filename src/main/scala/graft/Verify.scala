@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev-only; the driver passes 2): comma-separated
+    // query names — restricts BOTH the query loop and input materialization
+    // to what those queries need, for fast single-query iteration.
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length >= 3) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reusedSession = SparkSession.getActiveSession.isDefined
     val spark = SparkSession.builder()
@@ -25,7 +30,7 @@ object Verify {
         System.err.println(s"[verify] input $name failed: ${e.getMessage}")
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -118,4 +118,132 @@ object TokenOps {
         sum(col("bin_tokens")).as("total_tokens"),
         round(avg(least(col("bin_tokens"), lit(budget)) / lit(budget.toDouble)), 4)
           .as("mean_fill"))
+
+  /** Context-window chunking: split each token sequence into fixed-size
+    * training windows of `maxLen` tokens with `overlap` tokens carried
+    * between consecutive chunks (the standard LLM pre-processing step that
+    * turns variable-length documents into model-context-sized examples
+    * without losing cross-boundary n-grams).
+    *
+    * Chunk `c` (0-based) covers positions `[c*stride, c*stride + maxLen)`
+    * with `stride = maxLen - overlap`; the last chunk is the first one
+    * whose window reaches `n_tok` (it may be shorter than `maxLen`, never
+    * empty). A sequence with `n_tok <= maxLen` yields exactly one chunk.
+    *
+    * Scale shape: fully NARROW — chunk starts and slices are per-row array
+    * computations inside whole-stage codegen followed by one explode; no
+    * shuffle, no window function. Output size is `~ n_tok/stride` rows per
+    * doc, a data-proportional expansion that partitions like the input.
+    */
+  def chunkSequences(df: DataFrame, maxLen: Int, overlap: Int = 0): DataFrame = {
+    require(maxLen > 0 && overlap >= 0 && overlap < maxLen,
+      "need 0 <= overlap < maxLen")
+    val stride = maxLen - overlap
+    // number of chunks - 1 = ceil((n_tok - maxLen)/stride) when n_tok > maxLen
+    val lastIdx = when(col("n_tok") <= maxLen, lit(0L))
+      .otherwise(((col("n_tok") - maxLen + (stride - 1)) / stride).cast("long"))
+    df.withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        slice(col("tokens"), (col("chunk_idx") * stride + 1).cast("int"), lit(maxLen))
+          .as("chunk_tokens"))
+      .withColumn("chunk_len", size(col("chunk_tokens")).cast("long"))
+  }
+
+  /** Token-level benchmark decontamination: flag corpus documents whose
+    * token stream shares any `n`-gram with a benchmark/eval set (the
+    * membership test run before training so eval examples are not
+    * memorized; 13 is the n-gram size popularized by GPT-3's and PaLM's
+    * decontamination appendices). Operates directly on the pre-tokenized
+    * arrays — no detokenize/re-shingle round trip.
+    *
+    * Scale shape (the [[graft.dedup.Dedupe.contamination]] plan, re-done
+    * at token granularity): the BENCH side — small by definition — is
+    * aggregated once to its distinct gram-hash set and broadcast; the
+    * corpus side computes per-position gram hashes NARROW (same
+    * [[Winnow.gramHashes]] codegen'd form the winnowing dedup uses),
+    * explodes only distinct grams per doc, and joins against the broadcast
+    * set. The only shuffle is the corpus side's own doc-keyed count
+    * aggregate, map-side combinable. The corpus is scanned once and never
+    * sits on the build side of anything.
+    *
+    * Returns the contaminated lane only: `(doc_id, source, n_grams,
+    * hit_grams)` with `hit_grams >= 1` — `n_grams` is the doc's distinct
+    * gram count, so callers can threshold on the overlap fraction.
+    * Cross-engine exact: gram identity is [[Hashing.h15]] of the
+    * comma-joined token run, reproducible in SQL.
+    */
+  def tokenContamination(corpus: DataFrame, bench: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val benchGrams = bench.filter(col("n_tok") >= n)
+      .select(explode(array_distinct(Winnow.gramHashes(col("tokens"), n))).as("g"))
+      .distinct()
+    corpus.filter(col("n_tok") >= n)
+      .withColumn("_gs", array_distinct(Winnow.gramHashes(col("tokens"), n)))
+      .select(col("doc_id"), col("source"),
+        size(col("_gs")).cast("long").as("n_grams"), explode(col("_gs")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"), col("source"), col("n_grams"))
+      .agg(count(lit(1)).as("hit_grams"))
+  }
+
+  /** 60-bit content hash of a token array (h15 of the comma-joined ids) —
+    * the doc identity used by the incremental-dedup ops; reproducible in
+    * DuckDB so oracles compare content, not array encodings.
+    */
+  def contentHash(tokens: Column): Column =
+    Hashing.h15(array_join(transform(tokens, t => t.cast("string")), ","))
+
+  /** Bloom pre-filter for incremental ingest: flag each NEW-batch row
+    * `maybe_seen` iff all `k` deterministic bit positions of its token
+    * content hash are set in a Bloom filter built over the existing
+    * corpus's content hashes. Bloom filters have NO false negatives, so
+    * `maybe_seen = false` PROVES the row is new; `maybe_seen = true` is a
+    * small maybe-lane (true dups + bounded false positives) that a
+    * downstream exact check resolves.
+    *
+    * Scale shape: the corpus side collapses to at most `k × m`-bit
+    * DISTINCT positions via a map-side-combinable aggregate and
+    * broadcasts; the batch side is narrow probes — the 10^12-row corpus is
+    * scanned once and NEVER shuffled or joined at full width. Bit
+    * positions are md5-derived ([[Hashing.h15]] of `"j|" + hash`), the
+    * same deterministic scheme as
+    * [[graft.ops.Transforms.tagCardinalityLimitBloom]], so every
+    * accept/reject decision is replay-stable and SQL-reproducible.
+    */
+  def bloomPrefilter(corpus: DataFrame, batch: DataFrame,
+                     mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
+    require(mBits > 0 && k >= 1, "need mBits > 0 and k >= 1")
+    def pos(j: Int, h: Column): Column =
+      pmod(Hashing.h15(concat(lit(s"$j|"), h.cast("string"))), lit(mBits))
+    val corpusH = corpus.select(contentHash(col("tokens")).as("h"))
+    val bits = (0 until k).map(j => corpusH.select(pos(j, col("h")).as("_b")))
+      .reduce(_ unionByName _).distinct()
+    val probed = batch.withColumn("_h", contentHash(col("tokens")))
+    val withHits = (0 until k).foldLeft(probed) { (d, j) =>
+      d.join(broadcast(bits.select(col("_b").as(s"_hit$j"))),
+        pos(j, col("_h")) === col(s"_hit$j"), "left")
+    }
+    withHits.withColumn("maybe_seen",
+        (0 until k).map(j => col(s"_hit$j").isNotNull).reduce(_ && _))
+      .drop("_h" +: (0 until k).map(j => s"_hit$j"): _*)
+  }
+
+  /** Incremental exact dedup: the NEW-batch rows whose token content does
+    * not already exist in the corpus (ingest-time dedup against the
+    * already-committed trillions). Exact semantics — equivalent to an
+    * anti join of content hashes — but executed as [[bloomPrefilter]]
+    * fast-pass + an anti join restricted to the tiny maybe-lane, so the
+    * expensive corpus-vs-batch join shrinks from |batch| to
+    * |dups + false positives| probe rows.
+    */
+  def incrementalDedupe(corpus: DataFrame, batch: DataFrame,
+                        mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
+    val flagged = bloomPrefilter(corpus, batch, mBits, k)
+    val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
+    val maybe = flagged.filter(col("maybe_seen")).drop("maybe_seen")
+    val corpusH = corpus.select(contentHash(col("tokens")).as("_ch")).distinct()
+    val resolved = maybe.join(corpusH,
+      contentHash(col("tokens")) === col("_ch"), "left_anti")
+    definitelyNew.unionByName(resolved)
+  }
 }

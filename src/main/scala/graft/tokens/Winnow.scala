@@ -59,10 +59,11 @@ object Winnow {
     */
   def genWithBoilerplate(spark: SparkSession, rows: Long, parts: Int,
                          maxTok: Int = 384, blocks: Int = 24,
-                         blockLen: Int = 96, sharePct: Int = 35): Dataset[TokenSeq] = {
+                         blockLen: Int = 96, sharePct: Int = 35,
+                         startId: Long = 0): Dataset[TokenSeq] = {
     import spark.implicits._
     val cfg = GenConfig(rows = rows, maxTok = maxTok)
-    spark.range(0, rows, 1, parts).as[Long].map { id =>
+    spark.range(startId, startId + rows, 1, parts).as[Long].map { id =>
       val base = Gen.rowOf(id, cfg)
       val pick = Mix.bounded(0xB011L, id, 7, 100)
       if (pick < sharePct && base.n_tok >= blockLen + 8) {
@@ -79,13 +80,46 @@ object Winnow {
     }
   }
 
-  /** 60-bit hash per k-gram position: `gh[i] = h15(tokens[i..i+k-1])`
-    * (1-based, `size - k + 1` entries). Narrow, codegen'd.
+  /** Deterministic corpus+batch generator with planted EXACT duplicates:
+    * ids `[0, corpusRows)` are the existing corpus; ids `[corpusRows,
+    * corpusRows + batchRows)` are the new-ingest batch, of which
+    * `dupPct`% carry the token payload of a deterministically chosen
+    * corpus row (content-identical, own doc_id — the re-crawl/re-ingest
+    * shape incremental dedup exists for). Pure function of the row id;
+    * identical at any parallelism.
     */
-  private def gramHashes(tokens: Column, k: Int): Column =
-    transform(sequence(lit(1), size(tokens) - (k - 1)),
-      i => Hashing.h15(array_join(
-        transform(slice(tokens, i, lit(k)), t => t.cast("string")), ",")))
+  def genWithDups(spark: SparkSession, corpusRows: Long, batchRows: Long,
+                  parts: Int, dupPct: Int = 30,
+                  maxTok: Int = 256): Dataset[(String, Array[Int], Int, String, String)] = {
+    import spark.implicits._
+    val cfg = GenConfig(rows = corpusRows + batchRows, maxTok = maxTok)
+    spark.range(0, corpusRows + batchRows, 1, parts).as[Long].map { id =>
+      val base = Gen.rowOf(id, cfg)
+      if (id < corpusRows) (base.doc_id, base.tokens, base.n_tok, base.source, "corpus")
+      else if (Mix.bounded(0xD0BAL, id, 6, 100) < dupPct) {
+        val src = Mix.bounded(0xD0BBL, id, 7, corpusRows.toInt).toLong
+        val donor = Gen.rowOf(src, cfg)
+        (base.doc_id, donor.tokens, donor.n_tok, base.source, "batch")
+      } else (base.doc_id, base.tokens, base.n_tok, base.source, "batch")
+    }.toDF("doc_id", "tokens", "n_tok", "source", "lane")
+      .as[(String, Array[Int], Int, String, String)]
+  }
+
+  /** 60-bit hash per k-gram position: `gh[i] = h15(tokens[i..i+k-1])`
+    * (1-based, `size - k + 1` entries). Narrow, codegen'd. TOTAL: arrays
+    * shorter than `k` yield `[]` — callers filter `n_tok >= k` for
+    * semantics, but the expression must stay safe on ALL rows because
+    * `InferFiltersFromGenerate` derives a `size(...) > 0` predicate from a
+    * downstream explode and predicate pushdown can evaluate it BELOW the
+    * length filter (a bare `sequence(1, size-k+1)` turns descending on
+    * short rows and feeds `slice` a 0 start).
+    */
+  private[tokens] def gramHashes(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(1), size(tokens) - (k - 1)),
+        i => Hashing.h15(array_join(
+          transform(slice(tokens, i, lit(k)), t => t.cast("string")), ","))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Winnowing fingerprints, exploded to `(doc_id, source, fp)`. Documents
     * shorter than `k + w - 1` tokens carry no fingerprint (dropped — below
@@ -113,8 +147,10 @@ object Winnow {
       .withColumn("gh", gramHashes(col("tokens"), k))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(
-          transform(sequence(lit(1), size(col("gh")) - (w - 1)),
-            j => array_min(slice(col("gh"), j, lit(w)))))).as("fp"))
+          when(size(col("gh")) >= w,
+            transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+              j => array_min(slice(col("gh"), j, lit(w)))))
+            .otherwise(array().cast("array<bigint>")))).as("fp"))
 
   /** Per-document substring-duplication stats: of the doc's `n_fp`
     * winnowing fingerprints, `dup_fp` also occur in at least one OTHER

@@ -121,3 +121,115 @@ class TokenOpsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 }
+
+class TokenChunkDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def tokDf(rows: (String, Seq[Int], String)*) =
+    rows.map { case (id, tk, src) => (id, tk, tk.size, src) }
+      .toDF("doc_id", "tokens", "n_tok", "source")
+
+  // ---- context-window chunking ----
+
+  test("chunking reconstructs the original sequence (overlap removed)") {
+    val docs = Winnow.genWithBoilerplate(spark, rows = 300, parts = 4).toDF()
+    val maxLen = 128; val overlap = 32
+    // reconstruction: chunk 0 whole, chunk c>0 minus its leading overlap
+    val recon = TokenOps.chunkSequences(docs, maxLen, overlap)
+      .withColumn("novel", when(col("chunk_idx") === 0, col("chunk_tokens"))
+        .otherwise(slice(col("chunk_tokens"), overlap + 1, maxLen)))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("chunk_idx"), col("novel")))).as("cs"))
+      .select(col("doc_id"), flatten(col("cs.novel")).as("cat"))
+    val bad = recon.join(docs.select("doc_id", "tokens"), "doc_id")
+      .filter(col("cat") =!= col("tokens")).count()
+    assert(bad == 0, "concatenated de-overlapped chunks must equal the source tokens")
+  }
+
+  test("chunking edge shapes: single chunk, exact multiples, bounds") {
+    val docs = tokDf(
+      ("tiny", 1 to 5, "web"),          // n_tok < maxLen -> 1 chunk
+      ("exact", 1 to 16, "web"),        // n_tok == maxLen -> 1 chunk
+      ("plus1", 1 to 17, "web"),        // one token past -> 2 chunks
+      ("multi", 1 to 100, "web"))
+    val out = TokenOps.chunkSequences(docs, maxLen = 16, overlap = 4)
+      .select("doc_id", "chunk_idx", "chunk_len").as[(String, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc("tiny").map(_._3).toSeq == Seq(5L))
+    assert(byDoc("exact").map(_._3).toSeq == Seq(16L))
+    assert(byDoc("plus1").length == 2 && byDoc("plus1").last._3 == 5L) // tokens 13..17
+    assert(byDoc("multi").forall(c => c._3 > 0 && c._3 <= 16))
+    // last chunk of multi must reach position 100: start 12*8... stride=12
+    val last = byDoc("multi").last
+    assert(last._2 * 12 + last._3 == 100L, "last chunk must end exactly at n_tok")
+  }
+
+  // ---- token-level decontamination ----
+
+  test("token contamination flags exactly the docs sharing an n-gram with the bench") {
+    val shared = (1 to 20).map(_ + 900)
+    val corpus = tokDf(
+      ("hit", (1 to 30).map(_ + 100) ++ shared, "web"),
+      ("clean", (1 to 60).map(_ + 5000), "web"),
+      ("short", 1 to 5, "web")) // below n, never flagged
+    val bench = tokDf(("b1", (1 to 7).map(_ + 300) ++ shared ++ Seq(7777), "eval"))
+    val out = TokenOps.tokenContamination(corpus, bench, n = 13)
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(out.keySet == Set("hit"))
+    assert(out("hit") == 20 - 13 + 1, "every 13-gram inside the shared 20-run must hit")
+  }
+
+  test("token contamination: hit_grams never exceeds the doc's distinct gram count") {
+    val corpus = Winnow.genWithBoilerplate(spark, rows = 500, parts = 4).toDF()
+    val bench = Winnow.genWithBoilerplate(spark, rows = 100, parts = 2, startId = 5000000L).toDF()
+    val bad = TokenOps.tokenContamination(corpus, bench, n = 13)
+      .filter(col("hit_grams") > col("n_grams") || col("hit_grams") < 1).count()
+    assert(bad == 0)
+  }
+
+  // ---- bloom prefilter + incremental dedup ----
+
+  private lazy val genAll = Winnow.genWithDups(spark, corpusRows = 1500,
+    batchRows = 600, parts = 8).toDF().cache()
+  private lazy val corpusLane = genAll.filter(col("lane") === "corpus")
+  private lazy val batchLane = genAll.filter(col("lane") === "batch")
+
+  test("bloom prefilter has NO false negatives: every true dup is flagged maybe_seen") {
+    val flagged = TokenOps.bloomPrefilter(corpusLane, batchLane, mBits = 1L << 13, k = 3)
+    val trueDups = batchLane.join(
+      corpusLane.select(TokenOps.contentHash(col("tokens")).as("ch")).distinct(),
+      TokenOps.contentHash(col("tokens")) === col("ch"), "left_semi")
+      .select("doc_id")
+    val missed = trueDups.join(
+      flagged.filter(!col("maybe_seen")).select("doc_id"), "doc_id").count()
+    assert(missed == 0, "a bloom filter must never clear a row that IS in the corpus")
+    // and at this deliberately tiny m the maybe-lane must include some FPs,
+    // otherwise the resolver path is untested
+    assert(flagged.filter(col("maybe_seen")).count() > trueDups.count())
+  }
+
+  test("incremental dedup equals the exact content-hash anti join at any bloom width") {
+    val exact = batchLane.join(
+      corpusLane.select(TokenOps.contentHash(col("tokens")).as("ch")).distinct(),
+      TokenOps.contentHash(col("tokens")) === col("ch"), "left_anti")
+      .select("doc_id").as[String].collect().sorted.toSeq
+    for (m <- Seq(1L << 10, 1L << 20)) {
+      val got = TokenOps.incrementalDedupe(corpusLane, batchLane, mBits = m, k = 3)
+        .select("doc_id").as[String].collect().sorted.toSeq
+      assert(got == exact, s"mBits=$m must not change exact semantics")
+    }
+  }
+
+  test("planted-dup generator: batch dups carry a corpus payload verbatim") {
+    val dupBatch = batchLane.join(
+      corpusLane.select(TokenOps.contentHash(col("tokens")).as("ch")).distinct(),
+      TokenOps.contentHash(col("tokens")) === col("ch"), "left_semi").count()
+    assert(dupBatch > 100, "the 30% dup rate must materialize")
+    // generator parallelism invariance
+    val d2 = Winnow.genWithDups(spark, 1500, 600, parts = 2).toDF()
+      .agg(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source, lane))")).as[Long].head()
+    val d16 = Winnow.genWithDups(spark, 1500, 600, parts = 16).toDF()
+      .agg(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source, lane))")).as[Long].head()
+    assert(d2 == d16)
+  }
+}
