@@ -231,8 +231,105 @@ object ScaleUpBench {
         s""""packed_rows":$packedRows,"secs":$secs,"rows_per_sec":${(rows / secs).toLong}}""")
       spark.stop()
 
+    case "--chunk" :: nDocs :: rest if rest.size <= 1 =>
+      // context-window chunking scale probe: fully narrow op — wall should
+      // track input size ~linearly with zero shuffle (the plan to verify)
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_chunk_input")
+      graft.tokens.Winnow.genWithBoilerplate(spark, nDocs.toLong, parts = 32)
+        .toDF().write.mode("overwrite").parquet(s"$dir/tokens.parquet")
+      val df = spark.read.parquet(s"$dir/tokens.parquet")
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val r = graft.tokens.TokenOps.chunkSequences(df, maxLen = 128, overlap = 32)
+          .agg(count(lit(1)).as("chunks"), sum(col("chunk_len")).as("toks")).collect()(0)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (r, secs) = timed.minBy(_._2)
+      println(s"""CHUNK {"docs":$nDocs,"chunks":${r.getLong(0)},""" +
+        s""""chunk_tokens":${r.getLong(1)},"secs":$secs,"secs_cold":${timed.head._2}}""")
+      spark.stop()
+
+    case "--decontam" :: nDocs :: rest if rest.size <= 1 =>
+      // token-level 13-gram decontamination scale probe: bench fixed at
+      // 2000 docs (benchmarks don't grow with the corpus); corpus-side
+      // explode+broadcast-join is the scaling surface
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_decontam_input")
+      graft.tokens.Winnow.genWithBoilerplate(spark, nDocs.toLong, parts = 32)
+        .toDF().write.mode("overwrite").parquet(s"$dir/tokens.parquet")
+      val corpus = spark.read.parquet(s"$dir/tokens.parquet")
+      val bench = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 2000,
+        parts = 8, startId = 500000000L).toDF()
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val r = graft.tokens.TokenOps.tokenContamination(corpus, bench, n = 13)
+          .agg(count(lit(1)).as("docs_hit"), sum(col("hit_grams")).as("hits")).collect()(0)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (r, secs) = timed.minBy(_._2)
+      println(s"""DECONTAM {"docs":$nDocs,"docs_hit":${r.getLong(0)},""" +
+        s""""hit_grams":${r.getLong(1)},"secs":$secs,"secs_cold":${timed.head._2}}""")
+      spark.stop()
+
+    case "--incr" :: corpusRows :: batchRows :: rest if rest.size <= 1 =>
+      // incremental-dedup scale probe: bloom fast-pass + maybe-lane anti
+      // join VS the plain full-batch anti join, same input, same result —
+      // the measured case for the bloom pre-filter's shuffle savings
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_incr_input")
+      graft.tokens.Winnow.genWithDups(spark, corpusRows.toLong, batchRows.toLong,
+        parts = 32).toDF().write.mode("overwrite").parquet(s"$dir/tokens.parquet")
+      val all = spark.read.parquet(s"$dir/tokens.parquet")
+      val batch = all.filter(col("lane") === "batch")
+      // the persisted content-hash index of the committed corpus — built
+      // once at commit time (like any snapshot column statistic); BOTH
+      // paths below read it, so the comparison isolates the per-batch plan
+      all.filter(col("lane") === "corpus")
+        .select(graft.tokens.TokenOps.contentHash(col("tokens")).as("h"))
+        .write.mode("overwrite").parquet(s"$dir/corpus_idx.parquet")
+      val corpusIdx = spark.read.parquet(s"$dir/corpus_idx.parquet")
+      val mBits = 1L << 26 // 64 Mbit -> 8 MiB sketch
+      // shuffle-bytes listener: wall time on ONE host hides shuffle cost
+      // (blocks are memory/disk-local); bytes written is the signal that
+      // predicts multi-executor network cost
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+      def time2(f: => Long): (Long, Double, Long) = {
+        val timed = (1 to 2).map { _ =>
+          shuffleBytes.set(0)
+          val t0 = System.nanoTime(); val n = f
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000) // let the listener bus drain stage events
+          (n, secs, shuffleBytes.get())
+        }
+        timed.minBy(_._2)
+      }
+      // sketch built ONCE per corpus commit (timed as build), then every
+      // incremental batch pays only probe + streamed-index resolve
+      val tb = System.nanoTime()
+      val sketch = graft.tokens.TokenOps.bloomSketchValue(corpusIdx, mBits,
+        k = 3, hash = col("h"))
+      val buildSecs = (System.nanoTime() - tb) / 1e9
+      val (nBloom, sBloom, shBloom) = time2(
+        graft.tokens.TokenOps.incrementalDedupe(corpusIdx, batch, mBits = mBits,
+          k = 3, prebuiltSketch = Some(sketch), corpusHash = col("h")).count())
+      val (nExact, sExact, shExact) = time2(
+        batch.join(corpusIdx.select(col("h").as("_ch")).distinct(),
+          graft.tokens.TokenOps.contentHash(col("tokens")) === col("_ch"), "left_anti").count())
+      println(s"""INCR {"corpus":$corpusRows,"batch":$batchRows,"m_bits":$mBits,""" +
+        s""""bloom_build_secs":$buildSecs,""" +
+        s""""new_bloom":$nBloom,"secs_bloom_per_batch":$sBloom,"shuffle_bytes_bloom":$shBloom,""" +
+        s""""new_exact":$nExact,"secs_exact_per_batch":$sExact,"shuffle_bytes_exact":$shExact}""")
+      spark.stop()
+
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] (got $other)")
       sys.exit(2)
   }
 }

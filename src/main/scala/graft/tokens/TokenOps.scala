@@ -174,11 +174,18 @@ object TokenOps {
     */
   def tokenContamination(corpus: DataFrame, bench: DataFrame, n: Int = 13): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
+    // distinct n-gram hashes via the native winnow expression at w=1: the
+    // window-min of each 1-window IS the gram hash, so this reuses the
+    // one-pass digest kernel (measured 6x over the interpreted HOF chain)
+    import org.apache.spark.sql.graft.Bridge
+    def distinctGrams(tokens: Column): Column =
+      Bridge.column(graft.functions.WinnowFingerprints(
+        Bridge.expression(tokens), n, 1))
     val benchGrams = bench.filter(col("n_tok") >= n)
-      .select(explode(array_distinct(Winnow.gramHashes(col("tokens"), n))).as("g"))
+      .select(explode(distinctGrams(col("tokens"))).as("g"))
       .distinct()
     corpus.filter(col("n_tok") >= n)
-      .withColumn("_gs", array_distinct(Winnow.gramHashes(col("tokens"), n)))
+      .withColumn("_gs", distinctGrams(col("tokens")))
       .select(col("doc_id"), col("source"),
         size(col("_gs")).cast("long").as("n_grams"), explode(col("_gs")).as("g"))
       .join(broadcast(benchGrams), "g")
@@ -210,18 +217,75 @@ object TokenOps {
     * [[graft.ops.Transforms.tagCardinalityLimitBloom]], so every
     * accept/reject decision is replay-stable and SQL-reproducible.
     */
-  def bloomPrefilter(corpus: DataFrame, batch: DataFrame,
-                     mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
+  private def bloomPos(j: Int, h: Column, mBits: Long): Column =
+    pmod(Hashing.h15(concat(lit(s"$j|"), h.cast("string"))), lit(mBits))
+
+  /** The set-bit table of a Bloom filter over the corpus's token content
+    * hashes: `(j|hash)`-derived md5 positions in an `mBits`-wide table, one
+    * row per DISTINCT set bit (≤ mBits rows total regardless of corpus
+    * size). ONE corpus scan — the k positions per row explode narrowly and
+    * the distinct is map-side combinable, collapsing to ≤ mBits rows per
+    * partition before the only shuffle. Build this ONCE per corpus
+    * commit/snapshot and persist it; every incremental batch then probes
+    * via [[bloomPrefilterWithBits]] WITHOUT touching the corpus at all —
+    * that amortization, not the single-shot build, is where the 10^12-row
+    * win lives.
+    */
+  def bloomBits(corpus: DataFrame, mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
     require(mBits > 0 && k >= 1, "need mBits > 0 and k >= 1")
-    def pos(j: Int, h: Column): Column =
-      pmod(Hashing.h15(concat(lit(s"$j|"), h.cast("string"))), lit(mBits))
-    val corpusH = corpus.select(contentHash(col("tokens")).as("h"))
-    val bits = (0 until k).map(j => corpusH.select(pos(j, col("h")).as("_b")))
-      .reduce(_ unionByName _).distinct()
+    corpus.select(contentHash(col("tokens")).as("h"))
+      .select(explode(array((0 until k).map(j =>
+        bloomPos(j, col("h"), mBits)): _*)).as("_b"))
+      .distinct()
+  }
+
+  /** One-row DataFrame holding the packed Bloom sketch of the corpus's
+    * content hashes ([[graft.sketch.BloomSketch]]): map-side OR-merged
+    * fixed-size bitsets, ONE corpus scan, shuffle volume = `mBits/8` bytes
+    * per partition regardless of corpus size. Build once per corpus
+    * commit, persist the single binary value, probe every batch with
+    * [[bloomPrefilterWithSketch]]. Bit-identical to [[bloomBits]] (same
+    * md5 scheme — pinned by `BloomSketchSpec`).
+    */
+  def bloomSketch(corpus: DataFrame, mBits: Long = 1L << 22, k: Int = 3,
+                  hash: Column = contentHash(col("tokens"))): DataFrame =
+    corpus.agg(graft.sketch.BloomSketch.agg(hash, mBits, k).as("sketch"))
+
+  /** Materialize the sketch bytes on the driver (`mBits/8` bytes — the
+    * model-sized artifact a corpus commit persists alongside its snapshot).
+    */
+  def bloomSketchValue(corpus: DataFrame, mBits: Long = 1L << 22, k: Int = 3,
+                       hash: Column = contentHash(col("tokens"))): Array[Byte] =
+    bloomSketch(corpus, mBits, k, hash).head().getAs[Array[Byte]]("sketch")
+
+  /** Probe side of [[bloomSketch]]: the sketch ships as a BROADCAST
+    * variable (fetched once per executor JVM) and each batch row pays a
+    * narrow codegen'd k-bit test — no hash relations, no shuffle, and the
+    * bitset never enters a row (a sketch COLUMN would be memcpy'd out of
+    * every joined row).
+    */
+  def bloomPrefilterWithSketch(sketch: Array[Byte], batch: DataFrame,
+                               k: Int = 3): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(sketch)
+    batch.withColumn("maybe_seen",
+      graft.sketch.BloomSketch.probe(bc, contentHash(col("tokens")), k))
+  }
+
+  def bloomPrefilter(corpus: DataFrame, batch: DataFrame,
+                     mBits: Long = 1L << 22, k: Int = 3): DataFrame =
+    bloomPrefilterWithSketch(bloomSketchValue(corpus, mBits, k), batch, k)
+
+  /** Probe side of [[bloomBits]]: flag batch rows whose k positions are
+    * all set. Batch-only work — k broadcast joins against the bit table;
+    * the corpus is not in this plan.
+    */
+  def bloomPrefilterWithBits(bits: DataFrame, batch: DataFrame,
+                             mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
+    require(mBits > 0 && k >= 1, "need mBits > 0 and k >= 1")
     val probed = batch.withColumn("_h", contentHash(col("tokens")))
     val withHits = (0 until k).foldLeft(probed) { (d, j) =>
       d.join(broadcast(bits.select(col("_b").as(s"_hit$j"))),
-        pos(j, col("_h")) === col(s"_hit$j"), "left")
+        bloomPos(j, col("_h"), mBits) === col(s"_hit$j"), "left")
     }
     withHits.withColumn("maybe_seen",
         (0 until k).map(j => col(s"_hit$j").isNotNull).reduce(_ && _))
@@ -235,15 +299,42 @@ object TokenOps {
     * fast-pass + an anti join restricted to the tiny maybe-lane, so the
     * expensive corpus-vs-batch join shrinks from |batch| to
     * |dups + false positives| probe rows.
+    *
+    * `corpusHash` is the content-hash expression evaluated against
+    * `corpus` rows: the default recomputes it from `tokens`, but a real
+    * deployment passes the PERSISTED hash-index column of the committed
+    * snapshot (`col("h")` over a skinny parquet projection) — then the
+    * per-batch cost is one STREAMED scan of the index (broadcast semi
+    * join, never shuffled) plus narrow batch work, while a plain anti
+    * join re-shuffles the full index every batch (measured in BENCH.md).
     */
   def incrementalDedupe(corpus: DataFrame, batch: DataFrame,
-                        mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
-    val flagged = bloomPrefilter(corpus, batch, mBits, k)
-    val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
-    val maybe = flagged.filter(col("maybe_seen")).drop("maybe_seen")
-    val corpusH = corpus.select(contentHash(col("tokens")).as("_ch")).distinct()
-    val resolved = maybe.join(corpusH,
-      contentHash(col("tokens")) === col("_ch"), "left_anti")
-    definitelyNew.unionByName(resolved)
+                        mBits: Long = 1L << 22, k: Int = 3,
+                        prebuiltSketch: Option[Array[Byte]] = None,
+                        corpusHash: Column = contentHash(col("tokens"))): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(
+      prebuiltSketch.getOrElse(bloomSketchValue(corpus, mBits, k, corpusHash)))
+    // hash + probe the batch ONCE and materialize (localCheckpoint — the
+    // [[Winnow.dupStats]] contract): the flagged batch feeds two consumers
+    // (maybe-hash build, final anti join) and re-running the md5 content
+    // hash per consumer measured as the dominant per-batch cost
+    val flagged = batch
+      .withColumn("_bh", contentHash(col("tokens")))
+      .withColumn("maybe_seen",
+        graft.sketch.BloomSketch.probe(bc, col("_bh"), k))
+      .localCheckpoint(true)
+    // the maybe-lane hash set is tiny (true dups + bounded FPs); broadcast
+    // IT and let the corpus STREAM map-side through a semi join — the
+    // corpus is never shuffled. `seen` = corpus ∩ maybe-lane hashes =
+    // corpus ∩ batch hashes exactly (no false negatives: every true dup is
+    // flagged), so ONE anti join of the flagged batch against
+    // broadcast(seen) is the exact result.
+    val maybeH = flagged.filter(col("maybe_seen"))
+      .select(col("_bh").as("_mh")).distinct()
+    val seen = corpus
+      .join(broadcast(maybeH), corpusHash === col("_mh"), "left_semi")
+      .select(corpusHash.as("_ch")).distinct()
+    flagged.join(broadcast(seen), col("_bh") === col("_ch"), "left_anti")
+      .drop("_bh", "maybe_seen")
   }
 }
