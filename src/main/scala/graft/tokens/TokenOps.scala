@@ -195,10 +195,14 @@ object TokenOps {
 
   /** 60-bit content hash of a token array (h15 of the comma-joined ids) —
     * the doc identity used by the incremental-dedup ops; reproducible in
-    * DuckDB so oracles compare content, not array encodings.
+    * DuckDB so oracles compare content, not array encodings. Native
+    * [[graft.functions.TokenContentHash]]: the HOF column form would drop
+    * the whole projection out of codegen (PlanSpec pins this stays in).
     */
-  def contentHash(tokens: Column): Column =
-    Hashing.h15(array_join(transform(tokens, t => t.cast("string")), ","))
+  def contentHash(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.TokenContentHash(Bridge.expression(tokens)))
+  }
 
   /** Bloom pre-filter for incremental ingest: flag each NEW-batch row
     * `maybe_seen` iff all `k` deterministic bit positions of its token

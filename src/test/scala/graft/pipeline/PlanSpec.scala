@@ -148,4 +148,39 @@ class PlanSpec extends SparkSpec {
     assert(!aggLine.contains("v_l") && !aggLine.contains("v_r"),
       s"vectors leaked into the dedup shuffle: $aggLine")
   }
+
+  test("context-window chunking is fully narrow: no Exchange") {
+    val p = plan(graft.tokens.TokenOps.chunkSequences(
+      spark.read.parquet(dir), maxLen = 128, overlap = 32))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("token decontamination: bench side broadcasts, corpus aggregates once") {
+    val corpus = spark.read.parquet(dir)
+    val bench = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 50,
+      parts = 2, startId = 900000L).toDF()
+    val p = plan(graft.tokens.TokenOps.tokenContamination(corpus, bench, n = 13))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never meet the bench in a shuffled join:\n$p")
+    // corpus-side shuffles: exactly the one doc-keyed count aggregate
+    // (the bench side's distinct adds its own tiny exchanges)
+    val corpusAggExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id"))
+    assert(corpusAggExchanges == 1, s"corpus must shuffle exactly once:\n$p")
+  }
+
+  test("bloom probe prefilter is fully narrow: no Exchange, stays in codegen") {
+    val sketch = new Array[Byte](512)
+    val df = graft.tokens.TokenOps.bloomPrefilterWithSketch(
+      sketch, spark.read.parquet(dir), k = 3)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    // the probe projection (native content hash + bloom_probe) must sit
+    // INSIDE a codegen stage — `*(n)` prefix on the Project line
+    val projLine = p.linesIterator.find(_.contains("bloom_probe"))
+      .getOrElse(fail(s"no probe projection in plan:\n$p"))
+    assert(projLine.trim.matches("""^(\+- )?\*\(\d+\) Project.*"""),
+      s"probe projection fell out of whole-stage codegen:\n$p")
+  }
 }
