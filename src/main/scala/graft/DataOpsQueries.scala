@@ -197,6 +197,18 @@ object DataOpsQueries {
           .select(col("doc_id"), col("n_tok"), col("source")))
     }),
 
+    // ---- deterministic train/val/test split: hash-bucketed holdout that
+    //      survives appends/resharding (narrow; salt-isolated from mix) ----
+    "p_split_assign" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.tokens.TokenOps.assignSplit(
+          Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF()
+            .select(col("doc_id"), col("n_tok"), col("source")),
+          valPpm = 20000, testPpm = 10000)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_toks"))
+    }),
+
     // ---- context-window chunking: doc → maxLen-token training windows
     //      with overlap (fully narrow: sequence + slice + one explode) ----
     "p_chunk_sequences" -> ((s, _) => {
@@ -519,6 +531,16 @@ object DataOpsQueries {
          |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM k GROUP BY source""".stripMargin
     },
+
+    // split-assignment twin: identical salted hash buckets and thresholds.
+    "p_split_assign" ->
+      s"""WITH g AS (SELECT *, (${dH15("concat('split|', doc_id)")} % 1000000) AS b
+         |           FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen10k/*.parquet'))
+         |SELECT source,
+         |  CASE WHEN b < 10000 THEN 'test'
+         |       WHEN b < 30000 THEN 'val' ELSE 'train' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
+         |FROM g GROUP BY source, split""".stripMargin,
 
     // context-window chunking twin: identical chunk-count formula, 1-based
     // inclusive slices, h15 content hash per chunk (maxLen=128, overlap=32).

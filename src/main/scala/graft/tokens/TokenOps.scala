@@ -95,6 +95,24 @@ object TokenOps {
   def mixSample(df: DataFrame, ratesPpm: Seq[(String, Int)] = DefaultMixPpm): DataFrame =
     df.filter(pmod(Hashing.h15(col("doc_id")), lit(1000000L)) < mixRate(ratesPpm))
 
+  /** Deterministic train/val/test assignment: split is a pure function of
+    * `h15("split|" + doc_id)` — replay-stable, partitioning-invariant, and
+    * INDEPENDENT of [[mixSample]]'s selection hash (distinct salt
+    * namespace, so sampling then splitting doesn't correlate). Holdout
+    * membership survives corpus regeneration, appends, and re-sharding —
+    * the property row-number splits lose the moment the corpus changes.
+    * Narrow (no shuffle); ppm thresholds like [[mixSample]].
+    */
+  def assignSplit(df: DataFrame, valPpm: Int = 10000, testPpm: Int = 10000): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000,
+      "val/test ppm must be non-negative and sum to <= 1e6")
+    val bucket = pmod(Hashing.h15(concat(lit("split|"), col("doc_id"))), lit(1000000L))
+    df.withColumn("split",
+      when(bucket < testPpm, "test")
+        .when(bucket < testPpm + valPpm, "val")
+        .otherwise("train"))
+  }
+
   /** Mixture audit: per-source totals vs kept docs/tokens under
     * [[mixSample]]'s selection — the counter surface a mixing stage emits.
     */

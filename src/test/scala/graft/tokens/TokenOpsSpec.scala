@@ -220,6 +220,31 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     }
   }
 
+  test("split assignment: exhaustive, rate-accurate, append-stable, mix-independent") {
+    val docs = Gen.tokenseq(spark, GenConfig(rows = 20000, parts = 8)).toDF()
+      .select("doc_id", "n_tok", "source")
+    val s = TokenOps.assignSplit(docs, valPpm = 20000, testPpm = 10000)
+    val byTier = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byTier.values.sum == 20000L, "every row gets exactly one split")
+    assert(math.abs(byTier("test") - 200L) < 100, s"test rate off: $byTier")
+    assert(math.abs(byTier("val") - 400L) < 150, s"val rate off: $byTier")
+    // append stability: the first 5000 docs keep their assignment when the
+    // corpus grows (split depends only on doc_id, never position/count)
+    val small = TokenOps.assignSplit(
+      Gen.tokenseq(spark, GenConfig(rows = 5000, parts = 4)).toDF()
+        .select("doc_id", "n_tok", "source"), valPpm = 20000, testPpm = 10000)
+      .select("doc_id", "split").as[(String, String)].collect().toMap
+    val bigSubset = s.select("doc_id", "split").as[(String, String)].collect()
+      .toMap.view.filterKeys(small.keySet).toMap
+    assert(bigSubset == small)
+    // salt isolation: the holdout rate among mix-kept rows matches the
+    // global rate (a shared hash would correlate selection and split)
+    val kept = TokenOps.mixSample(s)
+    val keptTest = kept.filter(col("split") === "test").count().toDouble /
+      kept.count().toDouble
+    assert(math.abs(keptTest - 0.01) < 0.006, s"mix-kept test rate $keptTest")
+  }
+
   test("planted-dup generator: batch dups carry a corpus payload verbatim") {
     val dupBatch = batchLane.join(
       corpusLane.select(TokenOps.contentHash(col("tokens")).as("ch")).distinct(),
