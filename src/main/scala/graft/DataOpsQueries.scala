@@ -429,6 +429,16 @@ object DataOpsQueries {
           col("total_frames"))
     }),
 
+    // ---- multimodal: REAL WAV decode → audio curation features ----
+    "m_audio_features" -> ((s, _) => {
+      graft.multimodal.Multimodal.decodeAudio(
+          graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms") + lit(1e-9), 4).as("rms"),
+          round(col("zcr") + lit(1e-9), 4).as("zcr"))
+    }),
+
     // ---- multimodal: decode → feature-extract → ANN over media features ----
     "m_media_knn" -> ((s, _) => {
       val feats = graft.multimodal.Multimodal.decodeImages(
@@ -901,6 +911,35 @@ object DataOpsQueries {
          | CAST(sum(struct_extract(meta, 'nFrames')) AS BIGINT) AS total_frames
          |FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
          |GROUP BY kind""".stripMargin,
+
+    // Audio-features twin: decode the RIFF/WAVE PCM16 payload IN SQL —
+    // hex-slice past the canonical 44-byte header, rebuild little-endian
+    // int16 samples, recompute RMS and zero-crossing rate. An independent
+    // full re-decode of the real Wav codec's output.
+    "m_audio_features" ->
+      s"""WITH a AS (
+         |  SELECT media_id, struct_extract(meta, 'sampleRate') AS sample_rate,
+         |         substr(hex(payload), 89) AS hx
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
+         |  WHERE kind = 'audio'),
+         |b AS (SELECT media_id, sample_rate,
+         |        list_transform(generate_series(1, len(hx)//2),
+         |          j -> CAST(concat('0x', substr(hx, 2*j-1, 2)) AS INT)) AS bs
+         |      FROM a),
+         |s AS (SELECT media_id, sample_rate,
+         |        list_transform(generate_series(1, len(bs)//2),
+         |          i -> CASE WHEN bs[2*i-1] + 256*bs[2*i] >= 32768
+         |               THEN bs[2*i-1] + 256*bs[2*i] - 65536
+         |               ELSE bs[2*i-1] + 256*bs[2*i] END) AS sm
+         |      FROM b)
+         |SELECT media_id, CAST(sample_rate AS INT) AS sample_rate,
+         |  CAST(len(sm) AS INT) AS n_samples,
+         |  round(sqrt(list_sum(list_transform(sm, x -> CAST(x AS DOUBLE) * x))
+         |        / len(sm)) + 1e-9, 4) AS rms,
+         |  round(CAST(len(list_filter(generate_series(2, len(sm)),
+         |          i -> (sm[i] < 0) <> (sm[i-1] < 0))) AS DOUBLE)
+         |        / (len(sm) - 1) + 1e-9, 4) AS zcr
+         |FROM s""".stripMargin,
 
     // Media kNN twin: decode the P5 (PGM) payload IN SQL (hex-slice the
     // raster past the fixed-width 19-byte Netpbm header), rebuild the

@@ -10,12 +10,14 @@ import graft.core.Mix
   * decode / feature-extract / resize / frame-sample stages.
   *
   * IMAGES use a REAL codec: [[Netpbm]] (P5/P6, the public Netpbm binary
-  * formats) — genuine encode + full-spec-parser decode, pure JVM. Audio
-  * and video stay behind [[StubCodec]], a deterministic fake that
-  * round-trips a self-describing layout — no audio/video codec libraries
-  * exist in this container, and that boundary is documented where a real
-  * integration (e.g. JavaCV) would slot in. Everything around the codecs
-  * is real and is the part that matters at 100 TB:
+  * formats); AUDIO uses a REAL codec too: [[Wav]] (RIFF/WAVE PCM16 —
+  * canonical encode, chunk-walking spec decode). Both genuine, pure JVM.
+  * Video stays behind [[StubCodec]], a deterministic fake that round-trips
+  * a self-describing layout — every real video format is a compressed
+  * container needing codec libraries this environment lacks, and that
+  * boundary is documented where a real integration (e.g. JavaCV) would
+  * slot in. Everything around the codecs is real and is the part that
+  * matters at 100 TB:
   *
   *  - schema: `(media_id long, kind string, payload binary, meta struct)`,
   *    media bytes NEVER pass through a shuffle unless the operator needs
@@ -37,14 +39,16 @@ object Multimodal {
                             payload: Array[Byte], meta: MediaMeta)
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
                                 meanLuma: Double, histogram: Array[Float])
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+                                n_samples: Int, rms: Double, zcr: Double)
 
   /** Deterministic fake codec for AUDIO/VIDEO payloads. Layout
     * (big-endian): magic "GRFT"(4) | kind(1) | width(4) | height(4) |
     * sampleRate(4) | nFrames(4) | pixel/sample bytes (hash-derived).
     *
     * ??? REAL-CODEC BOUNDARY: `decode`/`encode` below are the two methods a
-    * real audio/video integration replaces (e.g. JavaCV). Images already
-    * crossed this boundary — see [[Netpbm]]. The byte-plumbing, schema and
+    * real video integration replaces (e.g. JavaCV). Images ([[Netpbm]])
+    * and audio ([[Wav]]) already crossed this boundary. The byte-plumbing, schema and
     * batching around the codec stay unchanged either way.
     */
   object StubCodec {
@@ -93,9 +97,76 @@ object Multimodal {
         // real P5 (PGM) payload — hash-derived but spec-conformant pixels
         MediaRow(id, kind, Netpbm.encodeP5(w, h, StubCodec.pixelBytes(id, w * h)),
           MediaMeta(w, h, rate, frames, "pgm"))
+      else if (kind == "audio")
+        // real RIFF/WAVE PCM16 payload — hash-derived mono samples
+        MediaRow(id, kind,
+          Wav.encodePcm16(rate, 1, sampleShorts(id, w * h)),
+          MediaMeta(w, h, rate, frames, "wav"))
       else
         MediaRow(id, kind, StubCodec.encode(id, kind, w, h, rate, frames),
           MediaMeta(w, h, rate, frames, "grft"))
+    }
+  }
+
+  /** Deterministic hash-derived int16 PCM samples (the audio analog of
+    * [[StubCodec.pixelBytes]]) — pure function of `id`.
+    */
+  def sampleShorts(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = (Mix.mix64(id * 104729L + i) & 0xFFFF).toShort; i += 1 }
+    out
+  }
+
+  /** Audio decode stage: narrow `mapPartitions` over the real [[Wav]]
+    * codec; emits the curation features an audio pipeline gates on (RMS
+    * level for silence/clipping screens, zero-crossing rate as a crude
+    * voicing/noise signal). Payload dropped — features shuffle, media
+    * bytes don't.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val a = Wav.decode(row.payload)
+          val n = a.samples.length
+          var sumSq = 0.0
+          var zc = 0
+          var i = 0
+          while (i < n) {
+            val s = a.samples(i).toDouble
+            sumSq += s * s
+            if (i > 0 && (a.samples(i) < 0) != (a.samples(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          val zcr = if (n <= 1) 0.0 else zc.toDouble / (n - 1)
+          DecodedAudio(row.media_id, a.sampleRate, n, rms, zcr)
+        }
+      }
+    }
+  }
+
+  /** Audio resample stage: nearest-neighbor PCM16 resample (mono) — the
+    * rate-normalization step before feature extraction; payload in,
+    * payload out, narrow map, partitioning preserved.
+    */
+  def resampleAudio(media: Dataset[MediaRow], newRate: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      if (row.kind != "audio") row
+      else {
+        val a = Wav.decode(row.payload)
+        val outN = (a.samples.length.toLong * newRate / a.sampleRate).toInt
+        val out = new Array[Short](outN)
+        var i = 0
+        while (i < outN) {
+          out(i) = a.samples((i.toLong * a.sampleRate / newRate).toInt); i += 1
+        }
+        row.copy(payload = Wav.encodePcm16(newRate, a.channels, out),
+          meta = row.meta.copy(sampleRate = newRate))
+      }
     }
   }
 

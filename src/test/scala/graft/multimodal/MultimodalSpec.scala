@@ -106,3 +106,74 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.count() == q.count() * 3)
   }
 }
+
+class WavSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("wav round trip: canonical header, sample-exact") {
+    val samples = Array.tabulate(480)(i => ((i * 37 - 8000) % 32768).toShort)
+    val bytes = Wav.encodePcm16(16000, 1, samples)
+    assert(bytes.length == Wav.HeaderLen + samples.length * 2)
+    val a = Wav.decode(bytes)
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("decoder is a chunk walker: unknown chunks and pad bytes are skipped") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val canonical = Wav.encodePcm16(8000, 1, samples)
+    // splice a 3-byte LIST chunk (odd length -> pad byte) between fmt and data
+    val bb = java.nio.ByteBuffer.allocate(canonical.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(canonical, 0, 36)                       // RIFF..fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)  // unknown chunk, odd len
+    bb.put(Array[Byte](1, 2, 3, 0))                // 3 bytes + pad
+    bb.put(canonical, 36, canonical.length - 36)   // data chunk
+    val a = Wav.decode(bb.array())
+    assert(a.samples.toSeq == samples.toSeq && a.sampleRate == 8000)
+  }
+
+  test("decoder rejects malformed payloads with IllegalArgumentException") {
+    val good = Wav.encodePcm16(8000, 1, Array[Short](1, 2))
+    assertThrows[IllegalArgumentException](Wav.decode("nope".getBytes()))
+    assertThrows[IllegalArgumentException](Wav.decode(good.take(10)))
+    val nonPcm = good.clone(); nonPcm(20) = 3 // fmt tag != 1 (IEEE float)
+    assertThrows[IllegalArgumentException](Wav.decode(nonPcm))
+    // chunk length overrunning the payload must not read out of bounds
+    val overrun = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue) // data chunk length
+    assertThrows[IllegalArgumentException](Wav.decode(overrun))
+  }
+
+  test("audio decode features match a scala re-computation") {
+    val media = Multimodal.genMedia(spark, rows = 200, parts = 4)
+    val feats = Multimodal.decodeAudio(media).collect()
+    assert(feats.nonEmpty)
+    feats.take(10).foreach { f =>
+      val row = media.filter(_.media_id == f.media_id).head()
+      val a = Wav.decode(row.payload)
+      val n = a.samples.length
+      assert(f.n_samples == n && f.sample_rate == 16000)
+      val rms = math.sqrt(a.samples.map(s => s.toDouble * s).sum / n)
+      assert(math.abs(f.rms - rms) < 1e-9)
+      assert(f.zcr >= 0.0 && f.zcr <= 1.0)
+    }
+  }
+
+  test("resample halves the sample count and keeps non-audio untouched") {
+    val media = Multimodal.genMedia(spark, rows = 200, parts = 4)
+    val out = Multimodal.resampleAudio(media, 8000).collect()
+    out.filter(_.kind == "audio").take(5).foreach { r =>
+      val a = Wav.decode(r.payload)
+      assert(a.sampleRate == 8000 && r.meta.sampleRate == 8000)
+      val orig = Wav.decode(media.filter(_.media_id == r.media_id).head().payload)
+      assert(a.samples.length == orig.samples.length / 2)
+      // nearest-neighbor: every output sample exists at the mapped position
+      assert(a.samples.toSeq == (0 until a.samples.length)
+        .map(i => orig.samples(i * 2)).toSeq)
+    }
+    val imgs = media.filter(_.kind == "image").count()
+    assert(out.count(_.kind == "image").toLong == imgs)
+  }
+}
