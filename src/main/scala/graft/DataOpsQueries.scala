@@ -162,6 +162,18 @@ object DataOpsQueries {
       TextOps.repetitionStats(Tables.documents(s, dir), col("text"), col("doc_id"))
     }),
 
+    // ---- CCNet-style unigram LM perplexity filter (corpus-trained LM,
+    //      integer micro-nat costs → order-independent cross-entropy) ----
+    "t_lm_perplexity" -> ((s, dir) => {
+      TextOps.lmPerplexity(Tables.documents(s, dir), col("text"), col("doc_id"))
+    }),
+
+    // ---- self-trained naive-Bayes quality classifier (Gopher-gate seed
+    //      labels -> add-1 unigram NB -> integer micro-nat log-odds) ----
+    "t_quality_classifier" -> ((s, dir) => {
+      TextOps.nbQualityClassifier(Tables.documents(s, dir), col("text"), col("doc_id"))
+    }),
+
     // ---- benchmark decontamination (3-gram overlap vs a benchmark set) ----
     "d_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -490,6 +502,43 @@ object DataOpsQueries {
     "d_dedupe_exact" ->
       s"""SELECT doc_id, ${dH15("text")} AS text_hash FROM documents
          |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+
+    "t_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+        |cost AS (SELECT w, CAST(round((ln(n) - ln(CAST(c AS DOUBLE))) * 1000000 + 1e-9, 0) AS BIGINT) AS cost
+        |         FROM vocab, tot),
+        |doc AS (SELECT t.doc_id, count(*)::BIGINT AS n_words, CAST(sum(cost) AS BIGINT) AS sum_cost
+        |        FROM tok t JOIN cost USING (w) GROUP BY t.doc_id)
+        |SELECT doc_id, n_words, sum_cost, sum_cost // n_words AS ce_micronats,
+        |       (sum_cost // n_words) < 9500000 AS keep
+        |FROM doc""".stripMargin,
+
+    "t_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS tk FROM documents),
+        |lab AS (SELECT doc_id, tk,
+        |  (len(tk) BETWEEN 10 AND 100000)
+        |   AND (round(list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE, 4) BETWEEN 2 AND 12)
+        |   AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2) AS pos
+        |  FROM d),
+        |tok AS (SELECT doc_id, pos, unnest(tk) AS w FROM lab),
+        |vocab AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+        |                 sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS c_neg
+        |          FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c_pos) AS DOUBLE) AS n_pos, CAST(sum(c_neg) AS DOUBLE) AS n_neg,
+        |               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |pri AS (SELECT CAST(round((ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+        |                         - ln(CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)) * 1000000 + 1e-9, 0) AS BIGINT) AS prior FROM lab),
+        |model AS (SELECT w, CAST(round(((ln(CAST(c_pos AS DOUBLE) + 1.0) - ln(n_pos + v))
+        |                              - (ln(CAST(c_neg AS DOUBLE) + 1.0) - ln(n_neg + v))) * 1000000 + 1e-9, 0) AS BIGINT) AS lo
+        |          FROM vocab, tot),
+        |doc AS (SELECT t.doc_id, count(*)::BIGINT AS n_words, CAST(sum(lo) AS BIGINT) AS sum_lo,
+        |               max(CASE WHEN pos THEN 1 ELSE 0 END) AS seed_pos
+        |        FROM tok t JOIN model USING (w) GROUP BY t.doc_id)
+        |SELECT doc_id, n_words, prior + sum_lo AS logodds_micronats,
+        |       (prior + sum_lo) > 0 AS pred_quality, seed_pos = 1 AS seed_label
+        |FROM doc, pri""".stripMargin,
 
     "t_text_repetition" ->
       """SELECT doc_id,

@@ -106,6 +106,96 @@ object TextOps {
       (acc, t) => pmod(acc * 31L + g(t), lit(2147483647L)))
   }
 
+  /** CCNet-style unigram LM perplexity filter: train a word-frequency LM on
+    * the corpus itself (CCNet trains on Wikipedia; same mechanics, zero
+    * external data), score each document by its per-token cross-entropy
+    * under that LM, and keep the low-perplexity (fluent) tail.
+    *
+    * Cross-engine determinism: the per-token cost is quantized to integer
+    * micro-nats — `round((ln N − ln c(w)) · 10^6)` as BIGINT — so the
+    * per-document reduction is an order-independent integer sum (float sums
+    * of doubles are association-sensitive; integer sums are not), and the
+    * per-token cross-entropy is integer division. Only `ln` of exact-integer
+    * doubles crosses the float boundary, nudged per the repo rounding rule.
+    *
+    * Scale shape (10^12 rows): two corpus scans (one to build the LM, one to
+    * score), both map-side-combinable hash aggregates; the LM table is
+    * vocabulary-sized (≪ corpus, Heaps' law) and joins word-keyed — AQE
+    * broadcasts it when it fits, shuffles it when it doesn't; the 1-row
+    * total is an explicit broadcast. No windows, no driver-side data.
+    *
+    * @param keepUnderMicroNats keep threshold on the per-token cross-entropy
+    *        (9.5 nats/token ≈ perplexity 13k under the corpus LM)
+    */
+  def lmPerplexity(df: DataFrame, text: Column, id: Column,
+                   keepUnderMicroNats: Long = 9500000L): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(words(text)).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+    val total = vocab.agg(sum("c").cast("double").as("n"))
+    val costs = vocab.crossJoin(broadcast(total)).select(
+      col("w"),
+      round((log(col("n")) - log(col("c").cast("double"))) * 1e6 + lit(1e-9), 0)
+        .cast("long").as("cost"))
+    tok.join(costs, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("cost").as("sum_cost"))
+      .withColumn("ce_micronats", expr("sum_cost div n_words"))
+      .withColumn("keep", col("ce_micronats") < keepUnderMicroNats)
+  }
+
+  /** GPT-3/CCNet-style naive-Bayes quality classifier, self-trained: the
+    * Gopher-rule gates ([[qualityKeep]]) label a seed split (positive =
+    * passes the gates), an add-1-smoothed unigram NB model is trained on
+    * those labels, and every document is re-scored by summed log-odds —
+    * the generalizing statistical filter the hard rules bootstrap (GPT-3
+    * trains its quality classifier the same way: a cheap heuristic label
+    * source, then a linear model over unigrams).
+    *
+    * Cross-engine determinism: per-word log-odds are quantized to integer
+    * micro-nats with the fixed evaluation order
+    * `(ln(c_pos+1) − ln(N_pos+V)) − (ln(c_neg+1) − ln(N_neg+V))` (IEEE
+    * doubles are deterministic given a fixed op order), so the per-document
+    * reduction is an order-independent integer sum; the prior is the doc-
+    * count log-ratio with the same +1 smoothing.
+    *
+    * Scale shape (10^12 rows): two corpus scans (train, score), both
+    * map-side-combinable hash aggregates; the model is vocabulary-sized and
+    * word-key-joined (AQE broadcasts it when it fits); the totals/prior are
+    * explicit 1-row broadcasts. No windows, no driver-side data.
+    */
+  def nbQualityClassifier(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val labeled = df.select(id.as("doc_id"), text.as("t"),
+      qualityKeep(text).as("pos"))
+    val tok = labeled.select(col("doc_id"), col("pos"), explode(words(col("t"))).as("w"))
+    val vocab = tok.groupBy("w").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("c_neg"))
+    val totals = vocab.agg(
+      sum("c_pos").cast("double").as("n_pos"),
+      sum("c_neg").cast("double").as("n_neg"),
+      count(lit(1)).cast("double").as("v"))
+    val prior = labeled.agg(
+      round((log(sum(when(col("pos"), 1L).otherwise(0L)).cast("double") + 1.0) -
+             log(sum(when(!col("pos"), 1L).otherwise(0L)).cast("double") + 1.0)) * 1e6
+        + lit(1e-9), 0).cast("long").as("prior"))
+    val model = vocab.crossJoin(broadcast(totals)).select(
+      col("w"),
+      round(((log(col("c_pos").cast("double") + 1.0) - log(col("n_pos") + col("v"))) -
+             (log(col("c_neg").cast("double") + 1.0) - log(col("n_neg") + col("v")))) * 1e6
+        + lit(1e-9), 0).cast("long").as("lo"))
+    tok.join(model, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("lo").as("sum_lo"),
+        max(when(col("pos"), 1L).otherwise(0L)).as("seed_pos"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_words"),
+        (col("prior") + col("sum_lo")).as("logodds_micronats"),
+        (col("prior") + col("sum_lo") > 0L).as("pred_quality"),
+        (col("seed_pos") === 1L).as("seed_label"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-word fraction
     * and the fraction of the text covered by its most frequent word bigram
     * (high values flag boilerplate/spam). FULLY NARROW: the top-bigram

@@ -193,6 +193,92 @@ class DataOpsSpec extends SparkSpec {
     assert(fused(3L)._2 > 0 && fused(1L)._2 == 0)
   }
 
+  test("lm perplexity: integer micro-nat costs match an independent recompute") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the"),                      // all common words → low CE
+      (3L, "zyxwv qqqqq unique rareword singleton"), // all hapaxes → high CE
+      (4L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(d, col("text"), col("doc_id"))
+      .select("doc_id", "n_words", "sum_cost", "ce_micronats")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // independent recompute of the same quantization, straight Scala
+    val toks = Map(
+      1L -> "the cat sat on the mat".split(" ").toSeq,
+      2L -> "the the the the".split(" ").toSeq,
+      3L -> "zyxwv qqqqq unique rareword singleton".split(" ").toSeq,
+      4L -> "the cat sat".split(" ").toSeq)
+    val counts = toks.values.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val n = counts.values.sum.toDouble
+    def cost(w: String): Long =
+      math.round((math.log(n) - math.log(counts(w).toDouble)) * 1e6 + 1e-9)
+    toks.foreach { case (id, ws) =>
+      val (nw, sc, ce) = out(id)
+      assert(nw == ws.size, s"doc $id n_words")
+      assert(sc == ws.map(cost).sum, s"doc $id sum_cost")
+      assert(ce == sc / nw, s"doc $id ce integer division")
+    }
+    // fluent repetition scores lower cross-entropy than hapax soup
+    assert(out(2L)._3 < out(3L)._3)
+    // keep flag honors the threshold parameter
+    val kept = TextOps.lmPerplexity(d, col("text"), col("doc_id"),
+        keepUnderMicroNats = out(2L)._3 + 1)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("nb quality classifier: log-odds match an independent recompute; fluent docs score higher") {
+    // base/nearDup pass the Gopher gates (>=10 words); the short/symbol docs fail
+    val d = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "@@ ## $$ %% ^^ && ** (( )) !! ~~ ``"), // 12 words, all symbols → fails symbol gate
+      (4L, "tiny doc"),                            // fails length gate
+      (5L, base + " and the story continues onward")
+    ).toDF("doc_id", "text")
+    val out = TextOps.nbQualityClassifier(d, col("text"), col("doc_id"))
+      .select("doc_id", "n_words", "logodds_micronats", "pred_quality", "seed_label")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+
+    // independent recompute (same quantization, straight Scala)
+    val txt = Map(1L -> base, 2L -> nearDup,
+      3L -> "@@ ## $$ %% ^^ && ** (( )) !! ~~ ``", 4L -> "tiny doc",
+      5L -> (base + " and the story continues onward"))
+    val toks = txt.map { case (k, v) => k -> v.split(" ", -1).toSeq }
+    def gates(ws: Seq[String], t: String): Boolean = {
+      val nW = ws.size.toDouble
+      val mwl = BigDecimal(ws.map(_.length).sum / nW)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sym = BigDecimal("[^a-z0-9 ]".r.findAllIn(t).size / math.max(t.length, 1).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ws.size >= 10 && ws.size <= 100000 && mwl >= 2 && mwl <= 12 && sym <= 0.2
+    }
+    val pos = txt.map { case (k, t) => k -> gates(toks(k), t) }
+    val cPos = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cNeg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    toks.foreach { case (k, ws) => ws.foreach(w => if (pos(k)) cPos(w) += 1 else cNeg(w) += 1) }
+    val vocabSet = (cPos.keySet ++ cNeg.keySet).toSet
+    val (nPos, nNeg, v) = (cPos.values.sum.toDouble, cNeg.values.sum.toDouble, vocabSet.size.toDouble)
+    val prior = math.round((math.log(pos.values.count(identity) + 1.0) -
+      math.log(pos.values.count(!_) + 1.0)) * 1e6 + 1e-9)
+    def lo(w: String): Long = math.round(
+      ((math.log(cPos(w) + 1.0) - math.log(nPos + v)) -
+       (math.log(cNeg(w) + 1.0) - math.log(nNeg + v))) * 1e6 + 1e-9)
+    toks.foreach { case (id, ws) =>
+      val (nw, score, pred, seed) = out(id)
+      assert(nw == ws.size, s"doc $id n_words")
+      assert(score == prior + ws.map(lo).sum, s"doc $id logodds")
+      assert(pred == (score > 0), s"doc $id pred")
+      assert(seed == pos(id), s"doc $id seed label")
+    }
+    // the classifier generalizes the gates: gate-passing docs score positive,
+    // the symbol soup scores negative
+    assert(out(1L)._2 > 0 && out(3L)._2 < 0)
+  }
+
   test("native top_bigram_count equals the exploded groupBy formulation") {
     import org.apache.spark.sql.graft.Bridge
     val d = Seq(
