@@ -101,7 +101,8 @@ object TenXBench {
   /** Run every SparkEntry query with a per-query wall guard; -1 = failed,
     * -2 = timed out (job group cancelled).
     */
-  def runAll(spark: SparkSession, dir: String, timeoutSecs: Int): Map[String, Double] = {
+  def runAll(spark: SparkSession, dir: String, timeoutSecs: Int,
+             nameFilter: Option[String] = None): Map[String, Double] = {
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
     val exec = Executors.newSingleThreadExecutor()
     // warmup: footers + codegen machinery
@@ -135,7 +136,11 @@ object TenXBench {
           -1.0
       }
     }
-    val out = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val picked = nameFilter match {
+      case Some(re) => SparkEntry.queries.keys.toSeq.filter(_.matches(re))
+      case None => SparkEntry.queries.keys.toSeq
+    }
+    val out = picked.sorted.map { name =>
       val first = guarded(name)
       val secs =
         if (first < 0 || passes <= 1) first
@@ -153,10 +158,10 @@ object TenXBench {
       materialize(spark, outDir, sfDir, rest.headOption.map(_.toInt).getOrElse(10))
       spark.stop()
 
-    case "--run" :: dir :: rest if rest.size <= 1 =>
+    case "--run" :: dir :: rest if rest.size <= 2 =>
       val spark = session()
       val timeout = rest.headOption.map(_.toInt).getOrElse(180)
-      val results = runAll(spark, dir, timeout)
+      val results = runAll(spark, dir, timeout, rest.drop(1).headOption)
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val done = results.values.filter(_ >= 0)
@@ -166,7 +171,7 @@ object TenXBench {
 
     case other =>
       System.err.println(
-        s"usage: --materialize outDir sfDir [factor] | --run dir [timeoutSecs] (got $other)")
+        s"usage: --materialize outDir sfDir [factor] | --run dir [timeoutSecs] [nameRegex] (got $other)")
       sys.exit(2)
   }
 }
