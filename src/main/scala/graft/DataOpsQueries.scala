@@ -174,6 +174,21 @@ object DataOpsQueries {
       TextOps.nbQualityClassifier(Tables.documents(s, dir), col("text"), col("doc_id"))
     }),
 
+    // ---- TF-IDF top-k keywords (corpus IDF, integer scores, group-limit
+    //      top-k) ----
+    "t_tfidf_topk" -> ((s, dir) => {
+      TextOps.tfidfTopK(Tables.documents(s, dir), col("text"), col("doc_id"), k = 3)
+    }),
+
+    // ---- deterministic exact-n per-source sample (hash-order top-n,
+    //      map-side WindowGroupLimit) ----
+    "p_stratified_sample" -> ((s, dir) => {
+      graft.tokens.TokenOps.stratifiedSample(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("source"), col("doc_id"), perGroup = 50)
+        .select("doc_id", "source", "sample_rank")
+    }),
+
     // ---- benchmark decontamination (3-gram overlap vs a benchmark set) ----
     "d_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -539,6 +554,26 @@ object DataOpsQueries {
         |SELECT doc_id, n_words, prior + sum_lo AS logodds_micronats,
         |       (prior + sum_lo) > 0 AS pred_quality, seed_pos = 1 AS seed_label
         |FROM doc, pri""".stripMargin,
+
+    "t_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |idf AS (SELECT w, CAST(round((ln(n_docs + 1.0) - ln(CAST(df AS DOUBLE) + 1.0)) * 1000000 + 1e-9, 0) AS BIGINT) AS idf
+        |        FROM dfx, tot),
+        |scored AS (SELECT doc_id, tf.w AS w, tf.tf AS tf, tf.tf * idf.idf AS score
+        |           FROM tf JOIN idf USING (w))
+        |SELECT doc_id, w, tf, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "p_stratified_sample" ->
+      s"""SELECT doc_id, source, sample_rank FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${dH15("concat('strat|', doc_id)")}, doc_id) AS sample_rank
+         |  FROM documents) WHERE sample_rank <= 50""".stripMargin,
 
     "t_text_repetition" ->
       """SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation over a `documents`
@@ -142,6 +143,41 @@ object TextOps {
         sum("cost").as("sum_cost"))
       .withColumn("ce_micronats", expr("sum_cost div n_words"))
       .withColumn("keep", col("ce_micronats") < keepUnderMicroNats)
+  }
+
+  /** TF-IDF top-k keyword extraction per document (corpus-trained IDF,
+    * smoothed `ln((D+1)/(df+1))`), the standard content-signature /
+    * domain-audit op over a curation corpus.
+    *
+    * Cross-engine determinism: IDF is quantized to integer micro-nats
+    * (repo rounding rule), the score is the integer product `tf · idf`,
+    * and the per-doc top-k tie-breaks on the token text — fully ordered,
+    * no float comparisons.
+    *
+    * Scale shape (10^12 rows): tf and df are map-side-combinable hash
+    * aggregates; the IDF model is vocabulary-sized and word-key-joined
+    * (AQE-broadcast when it fits); the per-doc top-k is `row_number ≤ k`,
+    * which Spark rewrites with a map-side WindowGroupLimit — each task
+    * forwards at most k rows per document to the window sort, so hot
+    * documents never buffer their full vocabulary in one task
+    * (plan-pinned in PlanSpec).
+    */
+  def tfidfTopK(df: DataFrame, text: Column, id: Column, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tok = df.select(id.as("doc_id"), explode(words(text)).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+    val total = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(total)).select(
+      col("w"),
+      round((log(col("n_docs") + 1.0) - log(col("df").cast("double") + 1.0)) * 1e6
+        + lit(1e-9), 0).cast("long").as("idf"))
+    val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+    tf.join(idf, "w")
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "w", "tf", "score", "rank")
   }
 
   /** GPT-3/CCNet-style naive-Bayes quality classifier, self-trained: the

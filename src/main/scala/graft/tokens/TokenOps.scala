@@ -113,6 +113,30 @@ object TokenOps {
         .otherwise("train"))
   }
 
+  /** Deterministic exact-n stratified sample: per group (e.g. source),
+    * keep exactly `min(perGroup, |group|)` rows — the ones with the
+    * smallest salted hash — for fixed-size per-stratum eval/debug sets.
+    * Unlike [[mixSample]]'s rate-based keep, the output SIZE is exact per
+    * stratum; like it, selection is a pure function of the id (hash order,
+    * never `rand()`), so reruns and any parallelism pick the SAME rows.
+    *
+    * Scale shape (10^12 rows): `row_number ≤ n` over
+    * `(h15("strat|"+id), id)` — Spark inserts a map-side WindowGroupLimit,
+    * so each task forwards at most n rows per group to the single
+    * group-keyed shuffle; a hot group costs n·tasks rows in flight, never
+    * its full population (plan-pinned in PlanSpec). The salt namespace is
+    * distinct from [[mixSample]]/[[assignSplit]], so composing the three
+    * stages doesn't correlate their selections.
+    */
+  def stratifiedSample(df: DataFrame, group: Column, id: Column,
+                       perGroup: Int): DataFrame = {
+    require(perGroup > 0, "perGroup must be positive")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(Hashing.h15(concat(lit("strat|"), id)), id)
+    df.withColumn("sample_rank", row_number().over(win).cast("long"))
+      .filter(col("sample_rank") <= perGroup)
+  }
+
   /** Mixture audit: per-source totals vs kept docs/tokens under
     * [[mixSample]]'s selection — the counter surface a mixing stage emits.
     */

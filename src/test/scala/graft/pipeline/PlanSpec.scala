@@ -109,6 +109,22 @@ class PlanSpec extends SparkSpec {
     assert(full.size <= 2, s"${full.size} UNFILTERED document scans:\n${full.mkString("\n")}")
   }
 
+  test("stratified sample and tfidf top-k get a map-side WindowGroupLimit") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, s"src${i % 3}", s"word${i % 7} word${i % 5} text"))
+      .toDF("doc_id", "source", "text")
+    val pSample = plan(graft.tokens.TokenOps.stratifiedSample(
+      d.select("doc_id", "source"), col("source"), col("doc_id"), perGroup = 5))
+    assert(pSample.contains("WindowGroupLimit"),
+      s"stratified sample missing WindowGroupLimit:\n$pSample")
+    // both a partial (map-side, pre-shuffle) and a final group limit
+    assert("WindowGroupLimit".r.findAllIn(pSample).size >= 2,
+      s"expected partial+final group limits:\n$pSample")
+    val pTfidf = plan(graft.text.TextOps.tfidfTopK(d, col("text"), col("doc_id"), k = 2))
+    assert(pTfidf.contains("WindowGroupLimit"),
+      s"tfidf top-k missing WindowGroupLimit:\n$pTfidf")
+  }
+
   test("whole-stage codegen covers the parse+enrich+remap pipeline") {
     val (flagged, _) = TokenPipeline.dataflow(
       spark.read.parquet(dir), Gen.sourceAttrs(spark), 1024)

@@ -257,4 +257,58 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
       .agg(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source, lane))")).as[Long].head()
     assert(d2 == d16)
   }
+
+  test("stratified sample: exact n per group, deterministic, partitioning-invariant") {
+    val base = graft.core.Gen.tokenseq(spark, graft.core.GenConfig(rows = 5000, parts = 8))
+      .toDF().select("doc_id", "source")
+    val n = 25
+    val out = TokenOps.stratifiedSample(base, col("source"), col("doc_id"), n)
+      .select("doc_id", "source", "sample_rank")
+    val perGroup = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val popGroup = base.groupBy("source").count().as[(String, Long)].collect().toMap
+    popGroup.foreach { case (src, pop) =>
+      assert(perGroup(src) == math.min(n.toLong, pop), s"group $src size")
+    }
+    // ranks are 1..size within each group
+    val ranks = out.groupBy("source")
+      .agg(min("sample_rank").as("lo"), max("sample_rank").as("hi"), count(lit(1)).as("c"))
+      .as[(String, Long, Long, Long)].collect()
+    ranks.foreach { case (src, lo, hi, c) => assert(lo == 1L && hi == c, s"ranks $src") }
+    // same selection at different partitioning (hash order, not row order)
+    val ids = out.select("doc_id").as[String].collect().sorted.toSeq
+    val ids2 = TokenOps.stratifiedSample(base.repartition(17), col("source"), col("doc_id"), n)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(ids == ids2)
+    // smaller n selects a prefix of larger n's selection (hash-order nesting)
+    val ids10 = TokenOps.stratifiedSample(base, col("source"), col("doc_id"), 10)
+      .select("doc_id").as[String].collect().toSet
+    assert(ids10.subsetOf(ids.toSet) && ids10.size < ids.size)
+  }
+
+  test("tfidf top-k: scores match an independent recompute; common words lose") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha common"),
+      (2L, "beta delta common common"),
+      (3L, "epsilon common zeta")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.tfidfTopK(d, col("text"), col("doc_id"), k = 2)
+      .select("doc_id", "w", "tf", "score", "rank")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val toks = Map(1L -> "alpha beta gamma alpha common", 2L -> "beta delta common common",
+      3L -> "epsilon common zeta").map { case (k2, v) => k2 -> v.split(" ").toSeq }
+    val dfreq = toks.values.flatMap(_.distinct).groupBy(identity).map { case (w, g) => w -> g.size }
+    def idf(w: String): Long =
+      math.round((math.log(3 + 1.0) - math.log(dfreq(w) + 1.0)) * 1e6 + 1e-9)
+    // expected top-2 per doc: score desc then word asc over tf*idf
+    val expected = toks.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong, g.size * idf(w)) }
+        .toSeq.sortBy { case (w, _, s) => (-s, w) }.take(2)
+    }
+    expected.foreach { case (id, exp) =>
+      val got = out.filter(_._1 == id).sortBy(_._5).map(r => (r._2, r._3, r._4))
+      assert(got.toSeq == exp, s"doc $id: $got vs $exp")
+    }
+    // 'common' appears in every doc -> lowest idf; never a doc-1 keyword
+    assert(!out.exists(r => r._1 == 1L && r._2 == "common"))
+  }
 }
