@@ -189,6 +189,29 @@ object DataOpsQueries {
         .select("doc_id", "source", "sample_rank")
     }),
 
+    // ---- PII detection + redaction (email/IP/SSN/phone; fully narrow
+    //      regex scrub — the curation stage before anything else) ----
+    "t_pii_scrub" -> ((s, _) => {
+      graft.text.Pii.scrub(
+        graft.text.Pii.genPiiDocs(s, rows = 4000, parts = 8).toDF(),
+        col("text"), col("doc_id"))
+    }),
+
+    // ---- BPE merge-candidate counting: global top-k adjacent token pairs
+    //      (the map-side-combinable inner loop of BPE vocab training) ----
+    "p_bpe_pairs" -> ((s, _) => {
+      graft.tokens.TokenOps.bpePairCounts(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        k = 64)
+    }),
+
+    // ---- SemDeDup: embedding-cluster-bounded semantic dedup (deterministic
+    //      seeded cells; in-cell pairs only — never corpus-wide) ----
+    "d_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), tau = 0.3, nlist = 16)
+    }),
+
     // ---- benchmark decontamination (3-gram overlap vs a benchmark set) ----
     "d_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -574,6 +597,45 @@ object DataOpsQueries {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${dH15("concat('strat|', doc_id)")}, doc_id) AS sample_rank
          |  FROM documents) WHERE sample_rank <= 50""".stripMargin,
+
+    // PII twin: count + replace chain GENERATED from the same Pii.Categories
+    // constants as the Spark side (shared Java-regex ∩ RE2 dialect).
+    "t_pii_scrub" -> {
+      import graft.text.Pii
+      val counts = Pii.Categories.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+      }.mkString(", ")
+      val scrub = Pii.Categories.foldLeft("text") { case (e, (_, pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      s"""SELECT doc_id, $counts, $scrub AS scrubbed
+         |FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_pii/*.parquet')""".stripMargin
+    },
+
+    "p_bpe_pairs" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |p AS (SELECT tokens[i] AS a, tokens[i+1] AS b
+         |      FROM d, unnest(generate_series(1, len(tokens)-1)) AS t(i)),
+         |c AS (SELECT a, b, count(*)::BIGINT AS n FROM p GROUP BY a, b)
+         |SELECT a, b, n, CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rank
+         |FROM c QUALIFY rank <= 64""".stripMargin,
+
+    "d_semdedup" ->
+      s"""WITH seeds AS (
+         |  SELECT embedding AS cent, CAST(row_number() OVER (
+         |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings QUALIFY cell < 16),
+         |ac AS (SELECT e.vec_id, e.embedding AS v, s.cell,
+         |         ${duckCosRaw("e.embedding", "s.cent")} AS cos_c
+         |       FROM embeddings e CROSS JOIN seeds s),
+         |assigned AS (SELECT vec_id, v, cell FROM ac
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) = 1),
+         |d AS (SELECT y.vec_id AS vec_id, round(max(${duckCosRaw("x.v", "y.v")}), 6) AS max_cos
+         |      FROM assigned x JOIN assigned y USING (cell)
+         |      WHERE x.vec_id < y.vec_id AND ${duckCosRaw("x.v", "y.v")} >= 0.3
+         |      GROUP BY y.vec_id)
+         |SELECT a.vec_id, a.cell, d.max_cos, d.max_cos IS NOT NULL AS is_dup
+         |FROM assigned a LEFT JOIN d USING (vec_id)""".stripMargin,
 
     "t_text_repetition" ->
       """SELECT doc_id,

@@ -45,7 +45,9 @@ object SparkEntry {
       graft.tokens.Winnow.genWithDups(s, corpusRows = 4000, batchRows = 1500,
         parts = 8).toDF()),
     "media2k" -> (s =>
-      graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()))
+      graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()),
+    "gen_pii" -> (s =>
+      graft.text.Pii.genPiiDocs(s, rows = 4000, parts = 8).toDF()))
 
   /** Generator output minus the token payload — the pipeline oracles only
     * touch (doc_id, n_tok, source), so the materialized input stays small.

@@ -254,6 +254,68 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering the embedding space and removing near-identical items
+    * *within* each cluster — the cluster bound is what makes embedding
+    * dedup tractable at corpus scale (pairs are confined to cells, never
+    * corpus-wide). This variant uses the same deterministic hash-seeded
+    * centroids as [[ivfTopKSeeded]] (so a SQL oracle reproduces the cells
+    * exactly) and keeps the LOWEST id of each above-threshold pair — a
+    * deterministic stand-in for the paper's keep-farthest-from-centroid
+    * rule (any one-survivor policy satisfies the dedup contract).
+    *
+    * Output: one row per vector — `(vec_id, cell, max_cos, is_dup)` where
+    * `max_cos` is the rounded max cosine to any LOWER-id same-cell vector
+    * at/above `tau` (NULL when none) and `is_dup = max_cos IS NOT NULL`;
+    * `keep = !is_dup` is the surviving corpus.
+    *
+    * Scale shape (10^12 rows): centroid seeding is a model-sized
+    * `TakeOrderedAndProject` collect; assignment is NARROW (plan-time
+    * literal centroids, sorted-struct argmax, codegen'd [[DotProduct]]);
+    * the only shuffles are the cell-keyed pair join and the dup-side
+    * aggregate. In-cell pair cost is Σ|cell|² — size `nlist` ∝ corpus/10⁴
+    * (the paper runs 50k clusters on LAION-440M) so cells stay bounded;
+    * the same auto-width rule as the LSH levers applies: pass
+    * `nlist ≳ corpusCount / targetCellSize`.
+    */
+  def semDedup(corpus: DataFrame, id: Column, vec: Column, tau: Double,
+               nlist: Int = 16): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val cents: Seq[Array[Float]] = c
+      .withColumn("_hk", Hashing.h15(col("vec_id").cast("string")))
+      .orderBy(col("_hk"), col("vec_id")).limit(nlist)
+      .select(col("v")).collect().toSeq
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+
+    def cellCos(v: Column, j: Int): Column =
+      dot(v, lit(cents(j))) / (norm(v) * norm(lit(cents(j))))
+    // argmax cell by (cos desc, cell asc) — same sorted-struct program as
+    // ivfTopKSeeded, narrow and oracle-reproducible
+    def argmaxCell(v: Column): Column = {
+      val arr = array(cents.indices.map(j =>
+        struct(cellCos(v, j).as("c"), lit(-j).as("nc"))): _*)
+      -element_at(reverse(array_sort(arr)), 1).getField("nc")
+    }
+
+    // norms once per vector, before the pair join
+    val assigned = c.withColumn("cell", argmaxCell(col("v")))
+      .withColumn("nrm", norm(col("v")))
+    val lo = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_n"))
+    val hi = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_n"))
+    // raw (unrounded) cosine for the threshold — both engines compute the
+    // identical double via the element-order fold; round only the output
+    val dups = lo.join(hi, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(round(max(col("cos")), 6).as("max_cos"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_cos"),
+        col("max_cos").isNotNull.as("is_dup"))
+  }
+
   /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
     * Probabilistic recall (multiprobe = flip 1 bit to widen); the
     * correctness baseline is [[bruteForceTopK]] — the spec measures recall

@@ -338,6 +338,36 @@ object TokenOps {
       .drop("_h" +: (0 until k).map(j => s"_hit$j"): _*)
   }
 
+  /** BPE merge-candidate counting: the global top-k most frequent ADJACENT
+    * token pairs across the corpus — the inner loop of byte-pair-encoding
+    * vocabulary induction (Sennrich et al. 2016): each training iteration
+    * counts pairs, merges the argmax, repeats. Counting is the part that
+    * touches all 10^12 rows; the merge decision is k rows on the driver.
+    *
+    * Scale shape: pair extraction is fully NARROW (two array slices +
+    * `arrays_zip` + one explode — codegen'd, no shuffle before the
+    * aggregate); the count is a map-side-combinable hash aggregate keyed
+    * by (a, b) — vocab² worst case but Zipf-concentrated in practice; the
+    * global top-k is `TakeOrderedAndProject` (per-partition top-k, k·P
+    * driver merge — never a single-partition sort of the pair table).
+    * Ties break on (a, b) ascending so the cut is deterministic.
+    */
+  def bpePairCounts(df: DataFrame, k: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m = greatest(size(col("tokens")) - 1, lit(0))
+    val pairs = df
+      .select(slice(col("tokens"), lit(1), m).as("hd"),
+        slice(col("tokens"), lit(2), m).as("tl"))
+      .select(explode(arrays_zip(col("hd"), col("tl"))).as("p"))
+      .select(col("p.hd").as("a"), col("p.tl").as("b"))
+    val top = pairs.groupBy("a", "b").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(k)
+    // rank over the k surviving rows only (constant-size window)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("a"), col("b"))).cast("long"))
+  }
+
   /** Incremental exact dedup: the NEW-batch rows whose token content does
     * not already exist in the corpus (ingest-time dedup against the
     * already-committed trillions). Exact semantics — equivalent to an

@@ -373,6 +373,66 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("semdedup: matches an independent in-memory recompute (cells, pairs, survivors)") {
+    val n = 120; val dim = 16; val tau = 0.8; val nlist = 8
+    val df = vecs(n, dim)
+    val got = Similarity.semDedup(df, col("vec_id"), col("embedding"),
+      tau = tau, nlist = nlist)
+      .select("vec_id", "cell", "is_dup").as[(Long, Int, Boolean)]
+      .collect().map { case (id, c, d) => id -> ((c, d)) }.toMap
+
+    // independent recompute: same seeded-centroid rule, plain Scala math
+    def h15(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val all = (0 until n).map { id =>
+      id.toLong -> Array.tabulate(dim)(d =>
+        ((graft.core.Mix.mix64(id * 131L + d) % 1000L) / 1000.0f))
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = all.sortBy { case (id, _) => (h15(id.toString), id) }
+      .take(nlist).map(_._2)
+    val cellOf = all.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, j) => (-cos(v, c), j) }.min._2
+    }.toMap
+    val byId = all.toMap
+    for ((id, v) <- all) {
+      val dup = all.exists { case (o, w) =>
+        o < id && cellOf(o) == cellOf(id) && cos(w, v) >= tau }
+      assert(got(id) === ((cellOf(id), dup)), s"id=$id")
+    }
+    // with hash-random 16-dim vectors in 8 cells some dups must exist AND
+    // some survivors must remain, or the fixture proves nothing
+    val nd = got.values.count(_._2)
+    assert(nd > 0 && nd < n, s"degenerate fixture: $nd dups of $n")
+  }
+
+  test("semdedup: exactly one survivor per identical group; partitioning-invariant") {
+    val v1 = Array.tabulate(16)(_.toFloat / 16f)
+    val v2 = Array.tabulate(16)(i => 1f - i.toFloat / 16f)
+    val df = Seq((10L, v1), (11L, v1), (12L, v1), (20L, v2), (21L, v2))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, col("vec_id"), col("embedding"),
+      tau = 0.999, nlist = 2)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    // identical vectors land in the same cell by construction; lowest id wins
+    assert(out === Map(10L -> false, 11L -> true, 12L -> true,
+      20L -> false, 21L -> true))
+    val repart = Similarity.semDedup(df.repartition(7), col("vec_id"),
+      col("embedding"), tau = 0.999, nlist = 2)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(repart === out)
+  }
+
   // ---------- text ops ----------
 
   test("language-ID picks the profile language; 'und' when no stopwords hit") {

@@ -199,4 +199,40 @@ class PlanSpec extends SparkSpec {
     assert(projLine.trim.matches("""^(\+- )?\*\(\d+\) Project.*"""),
       s"probe projection fell out of whole-stage codegen:\n$p")
   }
+
+  test("pii scrub is fully narrow: no Exchange, regexes in codegen") {
+    import spark.implicits._
+    val d = graft.text.Pii.genPiiDocs(spark, rows = 500, parts = 4).toDF()
+    val p = plan(graft.text.Pii.scrub(d, col("text"), col("doc_id")))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("bpe pair counts: partial agg before the shuffle, TakeOrdered not a global sort") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, Array.tabulate(20)(j => ((i + j) % 50).toInt)))
+      .toDF("doc_id", "tokens")
+    val p = plan(graft.tokens.TokenOps.bpePairCounts(d, k = 16))
+    // map-side combine: a partial_count aggregate below the exchange
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"pair count not map-side combined:\n$p")
+    // global top-k must be TakeOrderedAndProject (per-partition top-k +
+    // driver k-merge), never Sort + GlobalLimit over the pair table
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+  }
+
+  test("semdedup: assignment narrow (literal centroids), pair join keyed by cell") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, Array.tabulate(16)(j =>
+      ((graft.core.Mix.mix64(i * 131L + j) % 1000L) / 1000.0f))))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.sim.Similarity.semDedup(d, col("vec_id"),
+      col("embedding"), tau = 0.8, nlist = 8))
+    // no cartesian anywhere: candidate pairs are confined to cells
+    assert(!p.contains("Cartesian"), s"cartesian in semdedup plan:\n$p")
+    // the pair join is keyed by the cell id
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("cell")).getOrElse(
+      fail(s"no cell-keyed join in plan:\n$p"))
+    assert(joinLine.contains("cell"), joinLine)
+  }
 }

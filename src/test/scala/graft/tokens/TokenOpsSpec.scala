@@ -311,4 +311,36 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     // 'common' appears in every doc -> lowest idf; never a doc-1 keyword
     assert(!out.exists(r => r._1 == 1L && r._2 == "common"))
   }
+
+  test("bpe pair counts: match an independent recompute; ranks fully ordered") {
+    val rows = Seq(
+      Array(1, 2, 3, 1, 2),     // pairs (1,2)x2 via positions 0 and 3
+      Array(2, 3),              // (2,3)
+      Array(7),                 // no pairs
+      Array(1, 2, 1, 2, 1))     // (1,2)x2, (2,1)x2
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tokens")
+    val got = TokenOps.bpePairCounts(df, k = 10)
+      .select("a", "b", "n", "rank").as[(Int, Int, Long, Long)]
+      .collect().sortBy(_._4)
+    val expected = rows.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+      .groupBy(identity).map { case (p, g) => (p._1, p._2, g.size.toLong) }
+      .toSeq.sortBy { case (a, b, n) => (-n, a, b) }
+      .zipWithIndex.map { case ((a, b, n), i) => (a, b, n, i + 1L) }
+    assert(got.toSeq == expected, s"${got.toSeq} vs $expected")
+    // ties ((2,3) and (3,1) both count 1...) break on (a, b) ascending
+    assert(got.map(_._4).toSeq == (1L to expected.size))
+  }
+
+  test("bpe pair counts: k truncation is a prefix; partitioning-invariant") {
+    val big = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 500, parts = 8).toDF()
+    val k10 = TokenOps.bpePairCounts(big, k = 10)
+      .select("a", "b", "n", "rank").as[(Int, Int, Long, Long)].collect().sortBy(_._4)
+    val k30 = TokenOps.bpePairCounts(big, k = 30)
+      .select("a", "b", "n", "rank").as[(Int, Int, Long, Long)].collect().sortBy(_._4)
+    assert(k30.take(10).toSeq == k10.toSeq)
+    val repart = TokenOps.bpePairCounts(big.repartition(13), k = 10)
+      .select("a", "b", "n", "rank").as[(Int, Int, Long, Long)].collect().sortBy(_._4)
+    assert(repart.toSeq == k10.toSeq)
+  }
 }
