@@ -328,8 +328,72 @@ object ScaleUpBench {
         s""""new_exact":$nExact,"secs_exact_per_batch":$sExact,"shuffle_bytes_exact":$shExact}""")
       spark.stop()
 
+    case "--pii" :: nDocs :: rest if rest.size <= 1 =>
+      // PII scrub scale probe: fully narrow regex op — wall should track
+      // input ~linearly with zero shuffle (like --chunk)
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_pii_input")
+      graft.text.Pii.genPiiDocs(spark, nDocs.toLong, parts = 32)
+        .toDF().write.mode("overwrite").parquet(s"$dir/pii.parquet")
+      val df = spark.read.parquet(s"$dir/pii.parquet")
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val r = graft.text.Pii.scrub(df, col("text"), col("doc_id"))
+          .agg(sum(col("n_email") + col("n_ip") + col("n_ssn") + col("n_phone"))
+            .as("hits"), sum(length(col("scrubbed"))).as("out_chars")).collect()(0)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rp, pSecs) = timed.minBy(_._2)
+      println(s"""PII {"docs":$nDocs,"hits":${rp.getLong(0)},""" +
+        s""""out_chars":${rp.getLong(1)},"secs":$pSecs,"secs_cold":${timed.head._2}}""")
+      spark.stop()
+
+    case "--bpe" :: nDocs :: rest if rest.size <= 1 =>
+      // BPE pair-count scale probe: narrow pair explode + map-side-combined
+      // count + TakeOrdered top-k — the aggregate keys are vocab²-bounded,
+      // so wall should grow with token volume, not with k
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_bpe_input")
+      graft.tokens.Winnow.genWithBoilerplate(spark, nDocs.toLong, parts = 32)
+        .toDF().write.mode("overwrite").parquet(s"$dir/tokens.parquet")
+      val df = spark.read.parquet(s"$dir/tokens.parquet")
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val top = graft.tokens.TokenOps.bpePairCounts(df, k = 256)
+          .agg(count(lit(1)).as("k"), sum(col("n")).as("top_mass"),
+            max(col("n")).as("max_n")).collect()(0)
+        (top, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rb, bSecs) = timed.minBy(_._2)
+      println(s"""BPE {"docs":$nDocs,"k":${rb.getLong(0)},""" +
+        s""""top_mass":${rb.getLong(1)},"max_n":${rb.getLong(2)},""" +
+        s""""secs":$bSecs,"secs_cold":${timed.head._2}}""")
+      spark.stop()
+
+    case "--semdedup" :: dir :: rest if rest.size <= 1 =>
+      // SemDeDup scale probe over the materialized embeddings table. With
+      // no nlist argument the operator SELF-SIZES (Similarity.autoNlist —
+      // cells grow linearly with the corpus so per-cell pair work stays
+      // ~constant); an explicit nlist measures the lever directly.
+      val spark = session()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nVecs = emb.count()
+      val nlist = rest.headOption.map(_.toInt)
+        .getOrElse(graft.sim.Similarity.autoNlist(nVecs))
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val nDup = graft.sim.Similarity.semDedup(emb, col("vec_id"),
+          col("embedding"), tau = 0.3, nlist = nlist)
+          .filter(col("is_dup")).count()
+        (nDup, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nDup, sSecs) = timed.minBy(_._2)
+      println(s"""SEMDEDUP {"dir":"$dir","vectors":$nVecs,"nlist":$nlist,""" +
+        s""""dups":$nDup,"secs":$sSecs,"secs_cold":${timed.head._2}}""")
+      spark.stop()
+
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] | --pii nDocs [dir] | --bpe nDocs [dir] | --semdedup dir [nlist] (got $other)")
       sys.exit(2)
   }
 }

@@ -275,31 +275,34 @@ object Similarity {
     * the only shuffles are the cell-keyed pair join and the dup-side
     * aggregate. In-cell pair cost is Σ|cell|² — size `nlist` ∝ corpus/10⁴
     * (the paper runs 50k clusters on LAION-440M) so cells stay bounded;
-    * the same auto-width rule as the LSH levers applies: pass
-    * `nlist ≳ corpusCount / targetCellSize`.
+    * the same auto-width rule as the LSH levers applies: `nlist <= 0`
+    * SELF-SIZES from one cheap corpus count ([[autoNlist]]) — the
+    * round-5 scale-safety contract (defaults must survive any corpus);
+    * an explicit `nlist` stays as the override (the oracled query pins 16
+    * so CORRECTNESS rows are untouched).
     */
   def semDedup(corpus: DataFrame, id: Column, vec: Column, tau: Double,
                nlist: Int = 16): DataFrame = {
     val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val nl = if (nlist > 0) nlist else autoNlist(c.count())
     val cents: Seq[Array[Float]] = c
       .withColumn("_hk", Hashing.h15(col("vec_id").cast("string")))
-      .orderBy(col("_hk"), col("vec_id")).limit(nlist)
+      .orderBy(col("_hk"), col("vec_id")).limit(nl)
       .select(col("v")).collect().toSeq
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 
-    def cellCos(v: Column, j: Int): Column =
-      dot(v, lit(cents(j))) / (norm(v) * norm(lit(cents(j))))
-    // argmax cell by (cos desc, cell asc) — same sorted-struct program as
-    // ivfTopKSeeded, narrow and oracle-reproducible
-    def argmaxCell(v: Column): Column = {
-      val arr = array(cents.indices.map(j =>
-        struct(cellCos(v, j).as("c"), lit(-j).as("nc"))): _*)
-      -element_at(reverse(array_sort(arr)), 1).getField("nc")
+    // norms once per vector, before the pair join. Assignment is ONE
+    // narrow codegen'd expression looping the centroid matrix per row
+    // ([[NearestCell]]) — no N×nlist fan-out, no join, any cell count
+    // (an unrolled literal-argmax breaches codegen limits past ~64 cells,
+    // and a broadcast-join + re-aggregate shape measured 17× wall at 10×
+    // vectors because its row count grows as N·nlist ∝ N²).
+    val assigned = {
+      import org.apache.spark.sql.graft.Bridge
+      c.withColumn("cell",
+          Bridge.column(NearestCell(Bridge.expression(col("v")), cents)))
+        .withColumn("nrm", norm(col("v")))
     }
-
-    // norms once per vector, before the pair join
-    val assigned = c.withColumn("cell", argmaxCell(col("v")))
-      .withColumn("nrm", norm(col("v")))
     val lo = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("nrm").as("a_n"))
     val hi = assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -315,6 +318,17 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("max_cos"),
         col("max_cos").isNotNull.as("is_dup"))
   }
+
+  /** Self-sizing cell count for [[semDedup]]: cells sized so the expected
+    * in-cell population stays near `targetCell` — in-cell pair cost is
+    * Σ|cell|² ≈ N²/nlist, so nlist must grow LINEARLY with the corpus to
+    * hold per-cell work constant (the SemDeDup paper scales clusters the
+    * same way: 50k clusters for LAION-440M ≈ 9k vectors/cell). Floor 16
+    * keeps tiny corpora at the oracled query's pinned width.
+    */
+  def autoNlist(corpusCount: Long, targetCell: Int = 1024): Int =
+    math.max(16L, (corpusCount + targetCell - 1) / targetCell)
+      .min(Int.MaxValue.toLong).toInt
 
   /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
     * Probabilistic recall (multiprobe = flip 1 bit to widen); the

@@ -373,8 +373,8 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
-  test("semdedup: matches an independent in-memory recompute (cells, pairs, survivors)") {
-    val n = 120; val dim = 16; val tau = 0.8; val nlist = 8
+  private def checkSemDedup(n: Int, tau: Double, nlist: Int): Unit = {
+    val dim = 16
     val df = vecs(n, dim)
     val got = Similarity.semDedup(df, col("vec_id"), col("embedding"),
       tau = tau, nlist = nlist)
@@ -410,10 +410,35 @@ class DataOpsSpec extends SparkSpec {
         o < id && cellOf(o) == cellOf(id) && cos(w, v) >= tau }
       assert(got(id) === ((cellOf(id), dup)), s"id=$id")
     }
-    // with hash-random 16-dim vectors in 8 cells some dups must exist AND
+    // with hash-random 16-dim vectors in few cells some dups must exist AND
     // some survivors must remain, or the fixture proves nothing
     val nd = got.values.count(_._2)
     assert(nd > 0 && nd < n, s"degenerate fixture: $nd dups of $n")
+  }
+
+  test("semdedup: matches an independent in-memory recompute (cells, pairs, survivors)") {
+    checkSemDedup(n = 120, tau = 0.8, nlist = 8)
+  }
+
+  test("semdedup: broadcast-join assignment path (nlist > 64) matches the recompute too") {
+    // > 64 cells switches assignment from plan-literal argmax to the
+    // broadcast-centroids + min(struct) aggregate — same output contract
+    checkSemDedup(n = 400, tau = 0.6, nlist = 80)
+  }
+
+  test("autoNlist: linear in corpus (constant expected cell size), floor 16") {
+    assert(Similarity.autoNlist(0L) == 16)
+    assert(Similarity.autoNlist(500L) == 16) // sf0.1 embeddings → pinned width
+    assert(Similarity.autoNlist(16384L) == 16)
+    assert(Similarity.autoNlist(1L << 20) == 1024)
+    assert(Similarity.autoNlist(1L << 30) == (1L << 20).toInt)
+    // auto (nlist <= 0) equals the explicit value at sandbox corpus size
+    val df = vecs(100)
+    val auto = Similarity.semDedup(df, col("vec_id"), col("embedding"),
+      tau = 0.8, nlist = 0).collect().toSet
+    val pinned = Similarity.semDedup(df, col("vec_id"), col("embedding"),
+      tau = 0.8, nlist = 16).collect().toSet
+    assert(auto == pinned)
   }
 
   test("semdedup: exactly one survivor per identical group; partitioning-invariant") {
