@@ -490,6 +490,18 @@ object DataOpsQueries {
     }),
 
     // ---- multimodal: decode → feature-extract → ANN over media features ----
+    // ---- perceptual image dedup fingerprint (aHash): original images ∪
+    //      their 16×16 resized copies — resize-invariant by construction,
+    //      so each original groups with its copy under exact hash-groupBy ----
+    "m_image_ahash" -> ((s, _) => {
+      import s.implicits._
+      val imgs = graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8)
+        .filter(_.kind == "image")
+      val resized = graft.multimodal.Multimodal.resizeImages(imgs, 16, 16)
+        .map(r => r.copy(media_id = r.media_id + 100000))
+      graft.multimodal.Multimodal.imageAHash(imgs.union(resized)).toDF()
+    }),
+
     "m_media_knn" -> ((s, _) => {
       val feats = graft.multimodal.Multimodal.decodeImages(
         graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8))
@@ -1086,6 +1098,36 @@ object DataOpsQueries {
          |          i -> (sm[i] < 0) <> (sm[i-1] < 0))) AS DOUBLE)
          |        / (len(sm) - 1) + 1e-9, 4) AS zcr
          |FROM s""".stripMargin,
+
+    // aHash twin: decode the P5 raster IN SQL, independently recompute the
+    // 16×16 nearest-neighbor resize for the copied ids, then the 8×8
+    // sample → mean-threshold bit string — the oracle re-derives the
+    // resize chain rather than assuming the invariance theorem.
+    "m_image_ahash" ->
+      s"""WITH img AS (
+         |  SELECT media_id, struct_extract(meta, 'width') AS w,
+         |         struct_extract(meta, 'height') AS h,
+         |         substr(hex(payload), 39) AS hx
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/media2k/*.parquet')
+         |  WHERE kind = 'image'),
+         |b AS (SELECT media_id, w, h, list_transform(generate_series(1, len(hx)//2),
+         |        i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT)) AS bs FROM img),
+         |u AS (
+         |  SELECT media_id, w AS width, h AS height, bs FROM b
+         |  UNION ALL
+         |  SELECT media_id + 100000 AS media_id, 16 AS width, 16 AS height,
+         |    list_transform(generate_series(0, 255),
+         |      p -> bs[(p//16 * h//16)*w + (p%16 * w//16) + 1]) AS bs
+         |  FROM b),
+         |s AS (SELECT media_id, width, height,
+         |  list_transform(generate_series(0, 63),
+         |    k -> bs[(k//8 * height//8)*width + (k%8 * width//8) + 1]) AS px
+         |  FROM u),
+         |m AS (SELECT media_id, width, height, px, list_sum(px)/64.0 AS mean FROM s)
+         |SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         |  array_to_string(list_transform(px,
+         |    p -> CASE WHEN p > mean THEN '1' ELSE '0' END), '') AS ahash
+         |FROM m""".stripMargin,
 
     // Media kNN twin: decode the P5 (PGM) payload IN SQL (hex-slice the
     // raster past the fixed-width 19-byte Netpbm header), rebuild the

@@ -258,6 +258,47 @@ object Multimodal {
     h
   }
 
+  final case class ImageHash(media_id: Long, width: Int, height: Int, ahash: String)
+
+  /** Average-hash (aHash) perceptual fingerprint: nearest-neighbor
+    * downsample to 8×8, threshold each sample against the 64-sample mean,
+    * emit the 64 bits as a '0'/'1' string (engine-portable; no signed
+    * 2^63 overflow games). The standard perceptual near-dup primitive for
+    * image corpora: scale/re-encode-invariant by construction — the 8×8
+    * sample grid composes EXACTLY through the nearest-neighbor
+    * [[resizeImages]] formula (floor((floor(i·W'/8))·W/W') = floor(i·W/8)
+    * when 8 | W'), so an image and its resized copy hash identically
+    * (MultimodalSpec proves it).
+    *
+    * Scale shape (10^12 images): fully NARROW — decode + 64 samples + mean
+    * per row, no shuffle; near-dup grouping downstream is an exact
+    * hash-groupBy (the same map-side-combinable shape as exact text
+    * dedup). Pixels never leave the row: only the 64-char hash reaches
+    * any downstream exchange.
+    */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val img = Netpbm.decode(row.payload)
+          val (w, h, body) = (img.width, img.height, img.gray)
+          val px = new Array[Int](64)
+          var k = 0
+          while (k < 64) {
+            px(k) = body((k / 8 * h / 8) * w + (k % 8 * w / 8)) & 0xFF
+            k += 1
+          }
+          val mean = px.sum / 64.0
+          val sb = new java.lang.StringBuilder(64)
+          k = 0
+          while (k < 64) { sb.append(if (px(k) > mean) '1' else '0'); k += 1 }
+          ImageHash(row.media_id, w, h, sb.toString)
+        }
+      }
+    }
+  }
+
   /** Media stats per kind — the metadata-path query (no payload shuffle:
     * aggregates project meta fields only; Parquet would prune the binary
     * column entirely).

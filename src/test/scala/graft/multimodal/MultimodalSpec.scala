@@ -176,4 +176,28 @@ class WavSpec extends graft.SparkSpec {
     val imgs = media.filter(_.kind == "image").count()
     assert(out.count(_.kind == "image").toLong == imgs)
   }
+
+  test("aHash: invariant under nearest-neighbor resize; discriminative across images") {
+    val imgs = Multimodal.genMedia(spark, rows = 600, parts = 4)
+      .filter(_.kind == "image")
+    val orig = Multimodal.imageAHash(imgs).collect()
+      .map(r => r.media_id -> r.ahash).toMap
+    // the 8×8 sample grid composes exactly through the resize formula, so
+    // an image and its 16×16 resized copy hash IDENTICALLY — the property
+    // that makes exact hash-groupBy a perceptual near-dup detector
+    val resized = Multimodal.imageAHash(Multimodal.resizeImages(imgs, 16, 16))
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    assert(orig.keySet == resized.keySet && orig.nonEmpty)
+    orig.foreach { case (id, h) => assert(resized(id) == h, s"id=$id") }
+    // and a second, non-multiple-of-8 resize still matches for most images
+    // (floor composition is exact when 8 | W'; 24 also satisfies it)
+    val r24 = Multimodal.imageAHash(Multimodal.resizeImages(imgs, 24, 24))
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    orig.foreach { case (id, h) => assert(r24(id) == h, s"24px id=$id") }
+    // hash-random pixels: distinct images get distinct hashes (64 bits)
+    val distinct = orig.values.toSet.size
+    assert(distinct > orig.size * 9 / 10, s"$distinct of ${orig.size}")
+    // every hash is a 64-char bit string
+    orig.values.foreach(h => assert(h.length == 64 && h.forall(c => c == '0' || c == '1')))
+  }
 }
