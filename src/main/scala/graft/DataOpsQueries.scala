@@ -205,6 +205,14 @@ object DataOpsQueries {
         k = 64)
     }),
 
+    // ---- one full BPE training iteration: count pairs → global argmax
+    //      (k=1 driver rows) → apply everywhere (native BpeMerge, narrow) ----
+    "p_bpe_merge" -> ((s, _) => {
+      graft.tokens.TokenOps.applyTopBpeMerge(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        newId = 50257)
+    }),
+
     // ---- SemDeDup: embedding-cluster-bounded semantic dedup (deterministic
     //      seeded cells; in-cell pairs only — never corpus-wide) ----
     "d_semdedup" -> ((s, dir) => {
@@ -631,6 +639,27 @@ object DataOpsQueries {
          |c AS (SELECT a, b, count(*)::BIGINT AS n FROM p GROUP BY a, b)
          |SELECT a, b, n, CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rank
          |FROM c QUALIFY rank <= 64""".stripMargin,
+
+    // BPE-iteration twin: the oracle re-derives the argmax pick (same
+    // (n DESC, a, b) tie-break) and re-applies the greedy merge as a
+    // sequential list fold — after a merge the written newId is the new
+    // "previous" element, the reference BPE greedy semantics.
+    "p_bpe_merge" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |p AS (SELECT tokens[i] AS a, tokens[i+1] AS b
+         |      FROM d, unnest(generate_series(1, len(tokens)-1)) AS t(i)),
+         |c AS (SELECT a, b, count(*)::BIGINT AS n FROM p GROUP BY a, b),
+         |top AS (SELECT a, b FROM c ORDER BY n DESC, a, b LIMIT 1),
+         |m AS (SELECT doc_id, source, len(tokens) AS n_before,
+         |  list_reduce(list_prepend(CAST([] AS INT[]), list_transform(tokens, t -> [t])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = top.a AND x[1] = top.b
+         |                THEN list_concat(acc[1:len(acc)-1], [CAST(50257 AS INT)])
+         |                ELSE list_concat(acc, x) END) AS merged
+         |  FROM d, top)
+         |SELECT doc_id, source, top.a AS merge_a, top.b AS merge_b,
+         |  CAST(n_before AS BIGINT) AS n_before, CAST(len(merged) AS BIGINT) AS n_after,
+         |  ${dH15("array_to_string(merged, ',')")} AS merged_hash
+         |FROM m, top""".stripMargin,
 
     "d_semdedup" ->
       s"""WITH seeds AS (

@@ -368,6 +368,32 @@ object TokenOps {
           .orderBy(col("n").desc, col("a"), col("b"))).cast("long"))
   }
 
+  /** Apply one BPE merge to every token array: greedy left-to-right,
+    * non-overlapping replacement of `(a, b)` with `newId` — the per-row
+    * native [[graft.functions.BpeMerge]] expression (narrow, codegen'd,
+    * O(n) per row).
+    */
+  def bpeMerge(tokens: Column, a: Int, b: Int, newId: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.BpeMerge(Bridge.expression(tokens), a, b, newId))
+  }
+
+  /** One full BPE training iteration: count pairs, pick the global argmax
+    * (k=1 driver rows — the same model-sized collect as a centroid seed),
+    * apply it everywhere. Output keeps arrays out of the result: lengths
+    * before/after plus the merged content hash (SQL-reproducible).
+    */
+  def applyTopBpeMerge(df: DataFrame, newId: Int): DataFrame = {
+    val top = bpePairCounts(df, k = 1).select("a", "b").head()
+    val (a, b) = (top.getInt(0), top.getInt(1))
+    val merged = bpeMerge(col("tokens"), a, b, newId)
+    df.select(col("doc_id"), col("source"),
+      lit(a).as("merge_a"), lit(b).as("merge_b"),
+      size(col("tokens")).cast("long").as("n_before"),
+      size(merged).cast("long").as("n_after"),
+      contentHash(merged).as("merged_hash"))
+  }
+
   /** Incremental exact dedup: the NEW-batch rows whose token content does
     * not already exist in the corpus (ingest-time dedup against the
     * already-committed trillions). Exact semantics — equivalent to an

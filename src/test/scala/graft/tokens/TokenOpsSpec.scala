@@ -332,6 +332,44 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(got.map(_._4).toSeq == (1L to expected.size))
   }
 
+  test("bpe merge: greedy left-to-right, non-overlapping; reference aaa case") {
+    val rows = Seq(
+      (1L, Array(1, 2, 3, 1, 2)),    // both (1,2) merge
+      (2L, Array(7, 7, 7)),          // aaa with (7,7): ZA7, not 7Z
+      (3L, Array(7, 7, 7, 7)),       // ZZ
+      (4L, Array(2, 1)),             // no match (order matters)
+      (5L, Array[Int]()))            // empty stays empty
+    val df = rows.toDF("doc_id", "tokens")
+    val got12 = df.select(col("doc_id"),
+        TokenOps.bpeMerge(col("tokens"), 1, 2, 99).as("m"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got12(1L) == Seq(99, 3, 99) && got12(4L) == Seq(2, 1) &&
+      got12(5L) == Seq())
+    val got77 = df.select(col("doc_id"),
+        TokenOps.bpeMerge(col("tokens"), 7, 7, 99).as("m"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got77(2L) == Seq(99, 7), got77(2L))
+    assert(got77(3L) == Seq(99, 99), got77(3L))
+  }
+
+  test("bpe iteration: applying the argmax merge removes the pair from the count table") {
+    val big = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 800, parts = 8).toDF()
+    val top = TokenOps.bpePairCounts(big, k = 1)
+      .select("a", "b", "n").as[(Int, Int, Long)].head()
+    val out = TokenOps.applyTopBpeMerge(big, newId = 50257)
+    // each merge shortens its row by exactly one token, so the corpus-wide
+    // length drop equals the number of GREEDY occurrences (<= pair count,
+    // < only when occurrences overlap)
+    val drop = out.agg(sum(col("n_before") - col("n_after"))).head().getLong(0)
+    assert(drop > 0 && drop <= top._3, s"drop=$drop top_n=${top._3}")
+    // after the merge the picked pair no longer exists anywhere
+    val merged = big.select(col("doc_id"),
+      TokenOps.bpeMerge(col("tokens"), top._1, top._2, 50257).as("tokens"))
+    val left = TokenOps.bpePairCounts(merged, k = 10000)
+      .filter(col("a") === top._1 && col("b") === top._2).count()
+    assert(left == 0L)
+  }
+
   test("bpe pair counts: k truncation is a prefix; partitioning-invariant") {
     val big = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 500, parts = 8).toDF()
     val k10 = TokenOps.bpePairCounts(big, k = 10)
