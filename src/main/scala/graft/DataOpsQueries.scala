@@ -174,6 +174,13 @@ object DataOpsQueries {
       TextOps.nbQualityClassifier(Tables.documents(s, dir), col("text"), col("doc_id"))
     }),
 
+    // ---- OOV-rate / vocab-coverage audit (top-V corpus vocab broadcast;
+    //      integer-ppm rate — the tokenizer-budget check) ----
+    "t_oov_rate" -> ((s, dir) => {
+      TextOps.oovRate(Tables.documents(s, dir), col("text"), col("doc_id"),
+        vocabSize = 20)
+    }),
+
     // ---- TF-IDF top-k keywords (corpus IDF, integer scores, group-limit
     //      top-k) ----
     "t_tfidf_topk" -> ((s, dir) => {
@@ -617,6 +624,16 @@ object DataOpsQueries {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${dH15("concat('strat|', doc_id)")}, doc_id) AS sample_rank
          |  FROM documents) WHERE sample_rank <= 50""".stripMargin,
+
+    "t_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY w)
+        |      QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 20),
+        |j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // PII twin: count + replace chain GENERATED from the same Pii.Categories
     // constants as the Spark side (shared Java-regex ∩ RE2 dialect).

@@ -232,6 +232,33 @@ object TextOps {
         (col("seed_pos") === 1L).as("seed_label"))
   }
 
+  /** OOV-rate / vocabulary-coverage audit: the fraction of each document's
+    * tokens that fall outside the corpus top-`vocabSize` vocabulary — the
+    * standard check that a tokenizer/vocab budget actually covers the
+    * corpus it will train on (high OOV → fertility blowup or UNK floods).
+    *
+    * Cross-engine determinism: the vocabulary cut is fully ordered
+    * (`count DESC, word ASC`) and the rate is integer ppm
+    * (`n_oov·10⁶ div n_words`) — no float division.
+    *
+    * Scale shape (10^12 rows): two corpus scans, both map-side-combinable
+    * hash aggregates; the vocab is model-sized (`TakeOrderedAndProject`,
+    * like a centroid seed) and joins word-keyed as an explicit broadcast.
+    */
+  def oovRate(df: DataFrame, text: Column, id: Column,
+              vocabSize: Int = 20): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = df.select(id.as("doc_id"), explode(words(text)).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("_inv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_words"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-word fraction
     * and the fraction of the text covered by its most frequent word bigram
     * (high values flag boilerplate/spam). FULLY NARROW: the top-bigram

@@ -471,6 +471,21 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr" && out(4L) == "und")
   }
 
+  test("oov rate: top-V cut deterministic, ppm integer-exact, OOV words counted") {
+    val df = Seq(
+      (1L, "a a a b b c"),     // with V=2: vocab {a,b} -> c is OOV
+      (2L, "c c c c"),         // all OOV
+      (3L, "a b a b")          // none OOV
+    ).toDF("doc_id", "text")
+    val out = TextOps.oovRate(df, col("text"), col("doc_id"), vocabSize = 2)
+      .select("doc_id", "n_words", "n_oov", "oov_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // corpus counts: a=6, b=4, c=5 -> top-2 by (n desc, w asc) = {a, c}
+    assert(out(1L) === ((1L, 6L, 2L, 333333L)))  // b b are OOV
+    assert(out(2L) === ((2L, 4L, 0L, 0L)))
+    assert(out(3L) === ((3L, 4L, 2L, 500000L)))
+  }
+
   test("quality keep: too-short and symbol-heavy docs dropped") {
     val df = Seq(
       (1L, base),                                  // good
