@@ -196,6 +196,14 @@ object DataOpsQueries {
         .select("doc_id", "source", "sample_rank")
     }),
 
+    // ---- HTML text extraction (boilerplate strip + link/tag density;
+    //      the web-crawl pipeline's first stage — fully narrow) ----
+    "t_html_extract" -> ((s, _) => {
+      graft.text.Html.extract(
+        graft.text.Html.genHtmlDocs(s, rows = 4000, parts = 8).toDF(),
+        col("html"), col("doc_id"))
+    }),
+
     // ---- PII detection + redaction (email/IP/SSN/phone; fully narrow
     //      regex scrub — the curation stage before anything else) ----
     "t_pii_scrub" -> ((s, _) => {
@@ -634,6 +642,26 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // HTML-extraction twin: patterns GENERATED from the same Html constants
+    // (shared Java-regex ∩ RE2 dialect), same fixed replace order.
+    "t_html_extract" -> {
+      import graft.text.Html
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(html, '${Html.TagPat}')) AS n_tags,
+         |  len(regexp_extract_all(html, '${Html.LinkPat}')) AS n_links,
+         |  len(html) AS raw_len,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(html,
+         |    '${Html.ScriptPat}', ' ', 'g'), '${Html.TagPat}', ' ', 'g'),
+         |    '  +', ' ', 'g')) AS text,
+         |  len(trim(regexp_replace(regexp_replace(regexp_replace(html,
+         |    '${Html.ScriptPat}', ' ', 'g'), '${Html.TagPat}', ' ', 'g'),
+         |    '  +', ' ', 'g'))) AS text_len,
+         |  (len(trim(regexp_replace(regexp_replace(regexp_replace(html,
+         |    '${Html.ScriptPat}', ' ', 'g'), '${Html.TagPat}', ' ', 'g'),
+         |    '  +', ' ', 'g'))) * 1000000) // greatest(len(html), 1) AS text_ppm
+         |FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_html/*.parquet')""".stripMargin
+    },
 
     // PII twin: count + replace chain GENERATED from the same Pii.Categories
     // constants as the Spark side (shared Java-regex ∩ RE2 dialect).

@@ -47,7 +47,9 @@ object SparkEntry {
     "media2k" -> (s =>
       graft.multimodal.Multimodal.genMedia(s, rows = 2000, parts = 8).toDF()),
     "gen_pii" -> (s =>
-      graft.text.Pii.genPiiDocs(s, rows = 4000, parts = 8).toDF()))
+      graft.text.Pii.genPiiDocs(s, rows = 4000, parts = 8).toDF()),
+    "gen_html" -> (s =>
+      graft.text.Html.genHtmlDocs(s, rows = 4000, parts = 8).toDF()))
 
   /** Generator output minus the token payload — the pipeline oracles only
     * touch (doc_id, n_tok, source), so the materialized input stays small.

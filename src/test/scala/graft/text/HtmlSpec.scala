@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HtmlSpec extends SparkSpec {
+
+  test("extract: tags stripped, scripts dropped, whitespace normalized (hand case)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html><head><title>hi there</title><script >var x;</script></head>" +
+        "<body><a href=\"/x\">link text</a> <p>body words here</p></body></html>"),
+      (2L, "no markup at all"),
+      (3L, "<p></p><p></p>")
+    ).toDF("doc_id", "html")
+    val out = Html.extract(df, col("html"), col("doc_id"))
+      .select("doc_id", "n_tags", "n_links", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1: tags = html,head,title,/title,script,/script,/head,body,a,/a,p,/p,/body,/html = 14
+    assert(out(1L)._2 === 14L, out(1L))
+    assert(out(1L)._3 === 1L)
+    assert(out(1L)._4 === "hi there link text body words here", s"'${out(1L)._4}'")
+    assert(out(2L) === ((2L, 0L, 0L, "no markup at all")))
+    assert(out(3L)._4 === "")
+  }
+
+  test("generated pages: script share and link counts follow the plant schedule") {
+    val docs = Html.genHtmlDocs(spark, rows = 900, parts = 8).toDF()
+    val out = Html.extract(docs, col("html"), col("doc_id")).cache()
+    // scripts appear on ids % 3 == 0 and are never in the extracted text
+    val withJs = out.filter(col("text").contains("javascript") ||
+      col("text").contains("var x")).count()
+    assert(withJs === 0L)
+    // every page extracts SOME text and text is always shorter than raw
+    assert(out.filter(length(col("text")) === 0).count() === 0L)
+    assert(out.filter(col("text_ppm") >= 1000000L).count() === 0L)
+    // link counts recompute from the generator schedule
+    import spark.implicits._
+    val links = out.select("doc_id", "n_links").as[(Long, Long)].collect().toMap
+    for (id <- 0L until 900L)
+      assert(links(id) === graft.core.Mix.bounded(0x4712L, id, 3, 5).toLong, s"id=$id")
+    out.unpersist()
+  }
+
+  test("generator is parallelism-invariant; extract is idempotent on clean text") {
+    val a = Html.genHtmlDocs(spark, rows = 300, parts = 1).toDF()
+    val b = Html.genHtmlDocs(spark, rows = 300, parts = 5).toDF()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // extracting the already-extracted text changes nothing (no tags left)
+    val once = Html.extract(a, col("html"), col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val twice = Html.extract(once.withColumnRenamed("text", "html"),
+      col("html"), col("doc_id")).select(col("doc_id"), col("text"))
+    assert(once.exceptAll(twice).isEmpty)
+  }
+}
