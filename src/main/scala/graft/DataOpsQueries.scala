@@ -204,6 +204,14 @@ object DataOpsQueries {
         col("html"), col("doc_id"))
     }),
 
+    // ---- link-graph PageRank (3 iterations, integer micro-ranks — the
+    //      crawl-frontier / quality-prior signal) ----
+    "t_link_rank" -> ((s, _) => {
+      graft.text.Html.linkRank(
+        graft.text.Html.genHtmlDocs(s, rows = 4000, parts = 8).toDF(),
+        col("html"), col("doc_id"), iters = 3)
+    }),
+
     // ---- PII detection + redaction (email/IP/SSN/phone; fully narrow
     //      regex scrub — the curation stage before anything else) ----
     "t_pii_scrub" -> ((s, _) => {
@@ -642,6 +650,31 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // PageRank twin: the same integer micro-rank recurrence, CTE chain
+    // GENERATED for the same iteration count as the Spark loop.
+    "t_link_rank" -> {
+      val iters = 3
+      val rounds = (1 to iters).map { k =>
+        s"""c$k AS (SELECT dst, sum(r // deg) AS s
+           |      FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node GROUP BY dst),
+           |r$k AS (SELECT node, 150000 + (850000 * coalesce(s, 0)) // 1000000 AS r
+           |      FROM r${k - 1} LEFT JOIN c$k ON node = dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pg AS (SELECT doc_id, list_transform(
+         |    regexp_extract_all(html, '<a href="/p/([0-9]+)"', 1),
+         |    x -> CAST(x AS BIGINT)) AS ts
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_html/*.parquet')),
+         |e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM pg),
+         |od AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, od.deg FROM e0 JOIN od USING (src)),
+         |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM pg),
+         |$rounds,
+         |ind AS (SELECT dst AS node, count(*)::BIGINT AS indegree FROM e0 GROUP BY dst)
+         |SELECT r$iters.node AS doc_id, CAST(r$iters.r AS BIGINT) AS rank_micro,
+         |  coalesce(ind.indegree, 0) AS indegree
+         |FROM r$iters LEFT JOIN ind USING (node)""".stripMargin
+    },
 
     // HTML-extraction twin: patterns GENERATED from the same Html constants
     // (shared Java-regex ∩ RE2 dialect), same fixed replace order.

@@ -43,6 +43,56 @@ object Html {
       .withColumn("text_ppm", expr("text_len * 1000000 div greatest(raw_len, 1)"))
   }
 
+  /** In-corpus link targets of a page: the numeric ids in `/p/<n>` hrefs
+    * (the generator's link namespace). Narrow regex extraction.
+    */
+  def linkTargets(html: Column): Column =
+    transform(regexp_extract_all(html, lit("<a href=\"/p/([0-9]+)\""), lit(1)),
+      s => s.cast("long"))
+
+  /** PageRank over the in-corpus link graph, `iters` fixed iterations —
+    * the classic crawl-frontier / quality-prior signal (Page et al. 1999;
+    * CommonCrawl-scale pipelines rank hosts the same way).
+    *
+    * Cross-engine determinism: ranks are integer MICRO-units. Each
+    * iteration is `r' = 150000 + (850000 · Σ (r div deg)) div 10⁶` — every
+    * step integer (per-edge contribution uses integer division, losing
+    * only sub-micro remainders identically in both engines), so the
+    * inbound sum is order-independent and a SQL oracle chains the same
+    * CTEs. Simplifications (documented, standard): no dangling-mass
+    * redistribution; damping 0.85 as (1−d)=0.15 absolute.
+    *
+    * Scale shape (10^12 pages): edges = one narrow extract + explode;
+    * outdegree and each iteration are map-side-combinable hash aggregates;
+    * the per-iteration join is keyed by src — at scale you persist `edges`
+    * pre-partitioned by src once and every iteration reuses the exchange
+    * (iterations here unroll into one plan; a 50-iteration production run
+    * would checkpoint like [[graft.dedup.Dedupe.components]]).
+    */
+  def linkRank(df: DataFrame, html: Column, id: Column,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val pages = df.select(id.as("node"), linkTargets(html).as("targets"))
+    val edges0 = pages.select(col("node").as("src"), explode(col("targets")).as("dst"))
+    val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = edges0.join(outdeg, "src")
+    val nodes = pages.select(col("node"))
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850000 * coalesce(s, 0L)) div 1000000")).as("r"))
+    }
+    val indeg = edges0.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).cast("long").as("indegree"))
+    ranks.join(indeg, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("r").as("rank_micro"),
+        coalesce(col("indegree"), lit(0L)).as("indegree"))
+  }
+
   final case class HtmlDoc(doc_id: Long, html: String)
 
   private val Words = Vector("news", "story", "update", "market", "local",

@@ -42,6 +42,40 @@ class HtmlSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("link rank: matches an exact integer recompute; mass concentrates on link targets") {
+    import spark.implicits._
+    val n = 700
+    val docs = Html.genHtmlDocs(spark, rows = n, parts = 8).toDF()
+    val got = Html.linkRank(docs, col("html"), col("doc_id"), iters = 3)
+      .select("doc_id", "rank_micro", "indegree")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // independent recompute: rebuild the edge list from the generator
+    // schedule and run the same integer recurrence in plain Scala
+    val edges = (0L until n).flatMap { id =>
+      val nl = graft.core.Mix.bounded(0x4712L, id, 3, 5)
+      (0 until nl).map(i => id -> (id + i) % 97)
+    }
+    val deg = edges.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var r = (0L until n).map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val s = edges.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = (0L until n).map(v => v -> (150000L + 850000L * s.getOrElse(v, 0L) / 1000000L)).toMap
+    }
+    val indeg = edges.groupBy(_._2).map { case (d, g) => d -> g.size.toLong }
+    for (v <- 0L until n) {
+      assert(got(v) === ((r(v), indeg.getOrElse(v, 0L))), s"node $v")
+    }
+    // only /p/0../p/96 receive links: everything else sits at the base rank
+    assert((97L until n).forall(v => got(v)._1 == 150000L))
+    // every target with inbound links ranks above the base floor
+    assert((0L until 97L).filter(v => got(v)._2 > 0)
+      .forall(v => got(v)._1 > 150000L))
+    assert((0L until 97L).count(v => got(v)._1 > 1000000L) > 80)
+  }
+
   test("generator is parallelism-invariant; extract is idempotent on clean text") {
     val a = Html.genHtmlDocs(spark, rows = 300, parts = 1).toDF()
     val b = Html.genHtmlDocs(spark, rows = 300, parts = 5).toDF()
