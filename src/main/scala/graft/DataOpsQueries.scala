@@ -181,6 +181,13 @@ object DataOpsQueries {
         vocabSize = 20)
     }),
 
+    // ---- source-distribution drift audit (per-source integer-ppm L2
+    //      between deterministic snapshot halves over the top-V vocab) ----
+    "t_source_drift" -> ((s, dir) => {
+      TextOps.sourceDrift(Tables.documents(s, dir), col("text"), col("doc_id"),
+        topV = 64)
+    }),
+
     // ---- TF-IDF top-k keywords (corpus IDF, integer scores, group-limit
     //      top-k) ----
     "t_tfidf_topk" -> ((s, dir) => {
@@ -288,6 +295,18 @@ object DataOpsQueries {
           valPpm = 20000, testPpm = 10000)
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_toks"))
+    }),
+
+    // ---- deterministic global training-order shuffle: exact permutation
+    //      index via bucketed rank (per-bucket window + prefix-sum offsets;
+    //      never a single-partition global sort) ----
+    "p_global_shuffle" -> ((s, _) => {
+      import graft.core.{Gen, GenConfig}
+      graft.tokens.TokenOps.shuffleOrder(
+        Gen.tokenseq(s, GenConfig(rows = 10000, parts = 8)).toDF()
+          .select(col("doc_id"), col("n_tok"), col("source")),
+        buckets = 16)
+        .select(col("doc_id"), col("source"), col("order_idx"))
     }),
 
     // ---- context-window chunking: doc → maxLen-token training windows
@@ -651,6 +670,37 @@ object DataOpsQueries {
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
 
+    // source-drift twin: identical salted parity split, top-64 vocab cut
+    // (count DESC, word ASC), integer-ppm vectors, L2² sum. `//` (floor)
+    // == Spark DIV (truncate) — all operands non-negative.
+    "t_source_drift" ->
+      s"""WITH tok AS (SELECT source,
+         |               (${dH15("concat('drift|', doc_id)")} % 2) AS half,
+         |               unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |wc AS (SELECT source, half, w, count(*) AS n
+         |       FROM tok GROUP BY source, half, w),
+         |v AS (SELECT w FROM (SELECT w, sum(n) AS nw FROM wc GROUP BY w)
+         |      QUALIFY row_number() OVER (ORDER BY nw DESC, w) <= 64),
+         |tots AS (SELECT source,
+         |           sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS tot_a,
+         |           sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS tot_b
+         |         FROM wc GROUP BY source),
+         |pw AS (SELECT wc.source, wc.w,
+         |         sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS na,
+         |         sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS nb
+         |       FROM wc JOIN v ON wc.w = v.w GROUP BY wc.source, wc.w),
+         |pp AS (SELECT p.source,
+         |         na * 1000000 // greatest(t.tot_a, 1) AS pa,
+         |         nb * 1000000 // greatest(t.tot_b, 1) AS pb,
+         |         t.tot_a, t.tot_b
+         |       FROM pw p JOIN tots t ON p.source = t.source)
+         |SELECT source, CAST(max(tot_a) AS BIGINT) AS tok_a,
+         |  CAST(max(tot_b) AS BIGINT) AS tok_b,
+         |  CAST(sum((pa - pb) * (pa - pb)) AS BIGINT) AS drift_l2,
+         |  count(*)::BIGINT AS n_words
+         |FROM pp GROUP BY source""".stripMargin,
+
     // PageRank twin: the same integer micro-rank recurrence, CTE chain
     // GENERATED for the same iteration count as the Spark loop.
     "t_link_rank" -> {
@@ -816,6 +866,17 @@ object DataOpsQueries {
          |       WHEN b < 30000 THEN 'val' ELSE 'train' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
          |FROM g GROUP BY source, split""".stripMargin,
+
+    // global-shuffle twin: the bucketed rank must equal the plain global
+    // ROW_NUMBER over the same (salted hash, id) order — the bucket
+    // machinery is a pure execution strategy, invisible in the result.
+    "p_global_shuffle" ->
+      s"""WITH g AS (SELECT doc_id, source,
+         |             ${dH15("concat('shuf|', doc_id)")} AS hh
+         |           FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen10k/*.parquet'))
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (ORDER BY hh, doc_id) - 1 AS BIGINT) AS order_idx
+         |FROM g""".stripMargin,
 
     // context-window chunking twin: identical chunk-count formula, 1-based
     // inclusive slices, h15 content hash per chunk (maxLen=128, overlap=32).

@@ -259,6 +259,53 @@ object TextOps {
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_words"))
   }
 
+  /** Source-distribution drift audit: per-source divergence of token
+    * distributions between two deterministic corpus halves — the
+    * data-quality drift monitor an ingest pipeline runs per batch/snapshot
+    * (did `web`'s content shift between crawls? did a source's extractor
+    * regress?). Halves are salted-hash parity of the id (`h15("drift|"+id)
+    * mod 2`), so membership is replay-stable and a SQL twin reproduces the
+    * split exactly; in production the two sides are two snapshot commits.
+    *
+    * Score: over the GLOBAL top-`topV` vocabulary, per-source integer-ppm
+    * frequency vectors for each half, drift = Σ_w (ppm_a − ppm_b)² — an
+    * L2² distance in ppm space. All-integer (ppm = `n·10⁶ div total`):
+    * order-independent sums, exact across engines. ppm ≤ 10⁶ and
+    * topV ≤ 10⁴ keep the sum far inside BIGINT.
+    *
+    * Scale shape (10^12 rows): ONE corpus scan feeds a (source, half,
+    * word)-keyed map-side-combinable count, materialized once
+    * (localCheckpoint) for its three consumers; the vocabulary cut is
+    * model-sized (`TakeOrderedAndProject`) and broadcasts; per-source
+    * totals are sources×2 rows. Nothing corpus-sized shuffles twice.
+    */
+  def sourceDrift(df: DataFrame, text: Column, id: Column,
+                  topV: Int = 64): DataFrame = {
+    require(topV > 0, "topV must be positive")
+    val half = pmod(Hashing.h15(concat(lit("drift|"), id)), lit(2L))
+    val wc = df
+      .select(col("source"), half.as("half"), explode(words(text)).as("w"))
+      .groupBy(col("source"), col("half"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocab = wc.groupBy(col("w")).agg(sum(col("n")).as("nw"))
+      .orderBy(col("nw").desc, col("w")).limit(topV).select("w")
+    val totals = wc.groupBy(col("source")).agg(
+      sum(when(col("half") === 0L, col("n")).otherwise(0L)).as("tot_a"),
+      sum(when(col("half") === 1L, col("n")).otherwise(0L)).as("tot_b"))
+    val perWord = wc.join(broadcast(vocab), "w")
+      .groupBy(col("source"), col("w"))
+      .agg(sum(when(col("half") === 0L, col("n")).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1L, col("n")).otherwise(0L)).as("nb"))
+    perWord.join(broadcast(totals), "source")
+      .withColumn("pa", expr("na * 1000000 DIV greatest(tot_a, 1)"))
+      .withColumn("pb", expr("nb * 1000000 DIV greatest(tot_b, 1)"))
+      .groupBy(col("source"))
+      .agg(max(col("tot_a")).as("tok_a"), max(col("tot_b")).as("tok_b"),
+        sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("drift_l2"),
+        count(lit(1)).cast("long").as("n_words"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-word fraction
     * and the fraction of the text covered by its most frequent word bigram
     * (high values flag boilerplate/spam). FULLY NARROW: the top-bigram

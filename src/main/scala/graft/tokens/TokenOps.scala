@@ -394,6 +394,61 @@ object TokenOps {
       contentHash(merged).as("merged_hash"))
   }
 
+  /** Deterministic global training-order shuffle: assign every row an exact
+    * global permutation index `order_idx ∈ [0, N)` — the order the training
+    * loop will consume the corpus in. Training data must be shuffled, but
+    * `rand()` breaks replay (retries/re-runs reorder) and a global
+    * `row_number() OVER (ORDER BY …)` is a single-partition sort at scale.
+    * Here the order key is the salted cross-engine hash
+    * `(h15("shuf|" + doc_id), doc_id)` — a pure function of the id, so the
+    * permutation is replay-stable, partitioning-invariant, and
+    * SQL-reproducible — and the global rank is computed scalably:
+    *
+    *  1. bucket = `h div W` (monotone in h, so buckets are contiguous rank
+    *     ranges; W sized so bucket ids span [0, B));
+    *  2. per-bucket counts — ONE map-side-combinable aggregate, B rows to
+    *     the driver (same model-sized collect class as centroid seeds) →
+    *     exclusive prefix-sum offsets, broadcast back;
+    *  3. rank = offset(bucket) + per-bucket `row_number` — the window
+    *     partitions by bucket, so each task sorts ~N/B rows, never the
+    *     corpus.
+    *
+    * `buckets <= 0` self-sizes from a cheap `count()`: B grows with the
+    * corpus so expected rows-per-bucket stays ≤ `targetPerBucket` — the
+    * same autoscaling contract as `Similarity.autoNlist` (a 10^12-row run
+    * on a fixed sandbox-sized B would sort 10^12/B rows in one task).
+    * Output indices are provably independent of B (bucket boundaries only
+    * split the total order into contiguous runs) — pinned by the spec.
+    */
+  def shuffleOrder(df: DataFrame, buckets: Int = 0,
+                   targetPerBucket: Long = 1L << 22): DataFrame = {
+    val b: Int =
+      if (buckets > 0) buckets
+      else {
+        val n = df.count()
+        var p = 16L
+        while (p * targetPerBucket < n && p < (1L << 20)) p *= 2
+        p.toInt
+      }
+    val width = (1L << 60) / b + 1 // h15 < 2^60 ⇒ h div width ∈ [0, b)
+    val hashed = df
+      .withColumn("_sh", Hashing.h15(concat(lit("shuf|"), col("doc_id"))))
+      .withColumn("_bk", expr(s"_sh DIV CAST($width AS BIGINT)"))
+    val counts = hashed.groupBy(col("_bk")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (bk, n) => val o = acc; acc += n; (bk, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("_bk", "_off")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bk")).orderBy(col("_sh"), col("doc_id"))
+    hashed.join(broadcast(offDf), "_bk")
+      .withColumn("order_idx",
+        col("_off") + row_number().over(win).cast("long") - 1L)
+      .drop("_sh", "_bk", "_off")
+  }
+
   /** Incremental exact dedup: the NEW-batch rows whose token content does
     * not already exist in the corpus (ingest-time dedup against the
     * already-committed trillions). Exact semantics — equivalent to an

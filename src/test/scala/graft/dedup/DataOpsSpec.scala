@@ -486,6 +486,49 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3L) === ((3L, 4L, 2L, 500000L)))
   }
 
+  test("source drift: matches an independent integer recompute; partitioning-invariant") {
+    val df = Seq(
+      (1L, "a a b", "web"), (2L, "a b b c", "web"), (3L, "b c c", "web"),
+      (4L, "a a a", "code"), (5L, "c c", "code"), (6L, "a b c d", "code"),
+      (7L, "d d d d", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceDrift(df, col("text"), col("doc_id"), topV = 3)
+      .select("source", "tok_a", "tok_b", "drift_l2", "n_words")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    // independent recompute in plain Scala from the same hash rule
+    def h15(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val rows = Seq(
+      (1L, "a a b", "web"), (2L, "a b b c", "web"), (3L, "b c c", "web"),
+      (4L, "a a a", "code"), (5L, "c c", "code"), (6L, "a b c d", "code"),
+      (7L, "d d d d", "web"))
+    val halves = rows.map { case (id, _, _) => id -> h15(s"drift|$id") % 2 }.toMap
+    val wc = rows.flatMap { case (id, t, s) =>
+      t.split(" ", -1).map(w => ((s, halves(id), w), 1L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val vocab = wc.groupBy(_._1._3).view.mapValues(_.values.sum).toSeq
+      .sortBy { case (w, n) => (-n, w) }.take(3).map(_._1).toSet
+    for (src <- Seq("web", "code")) {
+      val ta = wc.collect { case ((s, 0L, _), n) if s == src => n }.sum
+      val tb = wc.collect { case ((s, 1L, _), n) if s == src => n }.sum
+      val wordsIn = wc.keys.collect { case (s, _, w) if s == src && vocab(w) => w }.toSet
+      val drift = wordsIn.toSeq.map { w =>
+        val na = wc.getOrElse((src, 0L, w), 0L); val nb = wc.getOrElse((src, 1L, w), 0L)
+        val pa = na * 1000000L / math.max(ta, 1L); val pb = nb * 1000000L / math.max(tb, 1L)
+        (pa - pb) * (pa - pb)
+      }.sum
+      assert(out(src) === ((src, ta, tb, drift, wordsIn.size.toLong)), s"source $src")
+    }
+
+    val repart = TextOps.sourceDrift(df.repartition(5), col("text"), col("doc_id"), topV = 3)
+      .select("source", "tok_a", "tok_b", "drift_l2", "n_words")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(repart === out)
+  }
+
   test("quality keep: too-short and symbol-heavy docs dropped") {
     val df = Seq(
       (1L, base),                                  // good

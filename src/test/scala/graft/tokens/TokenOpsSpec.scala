@@ -381,4 +381,35 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
       .select("a", "b", "n", "rank").as[(Int, Int, Long, Long)].collect().sortBy(_._4)
     assert(repart.toSeq == k10.toSeq)
   }
+
+  test("shuffle order: exact permutation equal to the global (hash, id) rank") {
+    val shufIn = Gen.tokenseq(spark, GenConfig(rows = 5000, parts = 8))
+      .toDF().select("doc_id", "n_tok", "source")
+    val out = TokenOps.shuffleOrder(shufIn, buckets = 8)
+      .select("doc_id", "order_idx").as[(String, Long)].collect()
+    assert(out.length == 5000)
+    // a permutation of [0, N)
+    assert(out.map(_._2).sorted.toSeq == (0L until 5000L).toSeq)
+    // equals the single-partition global rank over the same order key
+    val ref: Map[String, Long] = shufIn
+      .withColumn("h", graft.text.Hashing.h15(concat(lit("shuf|"), col("doc_id"))))
+      .select("doc_id", "h").as[(String, Long)].collect()
+      .sortBy { case (d, h) => (h, d) }.map(_._1).zipWithIndex
+      .map { case (d, i) => d -> i.toLong }.toMap
+    out.foreach { case (d, i) => assert(ref(d) == i, s"doc $d") }
+  }
+
+  test("shuffle order: bucket count and input partitioning are invisible") {
+    val shufIn = Gen.tokenseq(spark, GenConfig(rows = 3000, parts = 8))
+      .toDF().select("doc_id", "n_tok", "source")
+    def digest(df: org.apache.spark.sql.DataFrame, b: Int) =
+      TokenOps.shuffleOrder(df, buckets = b)
+        .agg(expr("bit_xor(xxhash64(doc_id, order_idx))")).as[Long].head()
+    val base = digest(shufIn, 8)
+    assert(digest(shufIn, 1) == base)      // one bucket = plain global sort
+    assert(digest(shufIn, 64) == base)     // more buckets than needed
+    assert(digest(shufIn.repartition(3), 8) == base) // partitioning-invariant
+    // self-sized form picks some B > 0 and must agree too
+    assert(digest(shufIn, 0) == base)
+  }
 }
