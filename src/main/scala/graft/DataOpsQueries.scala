@@ -188,6 +188,13 @@ object DataOpsQueries {
         topV = 64)
     }),
 
+    // ---- URL canonicalization + canonical-url dedup (crawl identity
+    //      folding: case/ports/slashes/tracking/param order/fragments) ----
+    "t_url_canon" -> ((s, _) => {
+      graft.text.Urls.canonDupStats(
+        graft.text.Urls.genUrls(s, rows = 4000, parts = 8).toDF())
+    }),
+
     // ---- TF-IDF top-k keywords (corpus IDF, integer scores, group-limit
     //      top-k) ----
     "t_tfidf_topk" -> ((s, dir) => {
@@ -700,6 +707,15 @@ object DataOpsQueries {
          |  CAST(sum((pa - pb) * (pa - pb)) AS BIGINT) AS drift_l2,
          |  count(*)::BIGINT AS n_words
          |FROM pp GROUP BY source""".stripMargin,
+
+    // URL-canon twin: the same parse/normalize/sort chain, CTEs GENERATED
+    // from Urls.TrackingPrefixes (one source of truth for both dialects).
+    "t_url_canon" ->
+      s"""WITH u AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_urls/*.parquet')),
+         |${graft.text.Urls.duckCanonCte("u")}
+         |SELECT canon_url, count(*)::BIGINT AS n_variants,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM canon GROUP BY canon_url""".stripMargin,
 
     // PageRank twin: the same integer micro-rank recurrence, CTE chain
     // GENERATED for the same iteration count as the Spark loop.

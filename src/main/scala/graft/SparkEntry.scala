@@ -49,7 +49,9 @@ object SparkEntry {
     "gen_pii" -> (s =>
       graft.text.Pii.genPiiDocs(s, rows = 4000, parts = 8).toDF()),
     "gen_html" -> (s =>
-      graft.text.Html.genHtmlDocs(s, rows = 4000, parts = 8).toDF()))
+      graft.text.Html.genHtmlDocs(s, rows = 4000, parts = 8).toDF()),
+    "gen_urls" -> (s =>
+      graft.text.Urls.genUrls(s, rows = 4000, parts = 8).toDF()))
 
   /** Generator output minus the token payload — the pipeline oracles only
     * touch (doc_id, n_tok, source), so the materialized input stays small.
