@@ -356,6 +356,13 @@ object DataOpsQueries {
         graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF())
     }),
 
+    // ---- exact duplicate-run REMOVAL (Lee et al. ExactSubstr at k-gram
+    //      granularity: first occurrence wins, losing runs deleted) ----
+    "d_substring_strip" -> ((s, _) => {
+      graft.tokens.Winnow.removeDuplicateRuns(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF())
+    }),
+
     // ---- paragraph-level dedup, first occurrence wins (MassiveText-style;
     //      skew-safe min-struct agg + streamed join, no window) ----
     "d_para_dedupe" -> ((s, _) => {
@@ -960,6 +967,37 @@ object DataOpsQueries {
          |FROM e JOIN s USING (fp)
          |GROUP BY e.doc_id, e.source
          |HAVING CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
+    },
+
+    // duplicate-run removal twin: identical per-position gram hashes,
+    // string-key winner selection, covered-position union, and a list
+    // comprehension rebuilding the cleaned array for the content hash.
+    "d_substring_strip" -> {
+      val k = graft.tokens.Winnow.K
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |g AS (SELECT doc_id, source, tokens, n_tok,
+         |        list_transform(generate_series(1, n_tok - ${k - 1}),
+         |          i -> ${dH15(s"array_to_string(list_slice(tokens, i, i+${k - 1}),',')")}) AS gh
+         |      FROM d WHERE n_tok >= $k),
+         |sites AS (SELECT doc_id, pos, gh[pos] AS ghash
+         |          FROM (SELECT doc_id, gh,
+         |                  unnest(generate_series(1, len(gh))) AS pos
+         |                FROM g)),
+         |w AS (SELECT ghash,
+         |        min(doc_id || '|' || lpad(pos::VARCHAR, 6, '0')) AS wkey,
+         |        count(*) AS n
+         |      FROM sites GROUP BY ghash),
+         |cov AS (SELECT doc_id, list_distinct(list(cp)) AS cps
+         |        FROM (SELECT s.doc_id,
+         |                unnest(generate_series(s.pos, s.pos + ${k - 1})) AS cp
+         |              FROM sites s JOIN w ON s.ghash = w.ghash
+         |              WHERE w.n >= 2
+         |                AND s.doc_id || '|' || lpad(s.pos::VARCHAR, 6, '0') <> w.wkey)
+         |        GROUP BY doc_id)
+         |SELECT d.doc_id, d.source, CAST(d.n_tok AS BIGINT) AS n_before,
+         |  CAST(len(cps) AS BIGINT) AS n_removed,
+         |  ${dH15(s"array_to_string([d.tokens[i] FOR i IN generate_series(1, len(d.tokens)) IF NOT list_contains(cps, i)], ',')")} AS clean_hash
+         |FROM d JOIN cov ON d.doc_id = cov.doc_id""".stripMargin
     },
 
     // paragraph-dedup twins: identical h15 paragraph hashes; first-wins via

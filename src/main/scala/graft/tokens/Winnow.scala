@@ -152,6 +152,71 @@ object Winnow {
               j => array_min(slice(col("gh"), j, lit(w)))))
             .otherwise(array().cast("array<bigint>")))).as("fp"))
 
+  /** Exact duplicate-run REMOVAL (the application [[dupStats]] only
+    * flags): delete every corpus-wide duplicated token run of at least `k`
+    * tokens, keeping exactly one occurrence — the "ExactSubstr" dedup of
+    * Lee et al. (ACL '22), re-expressed at k-gram granularity so it
+    * distributes (their suffix array is a single-machine structure).
+    *
+    * Semantics: a position-`p` k-gram of a doc is a DUPLICATE SITE iff
+    * the same token content occurs at ≥ 2 (doc, pos) sites corpus-wide
+    * and `(doc_id, pos)` is not the lexicographic minimum site (the
+    * deterministic winner — first occurrence wins, the exact-dedup
+    * survivor rule). Every token covered by a losing gram window is
+    * removed; a shared run of length m ≥ k is fully covered by its
+    * interior grams in every losing doc, so whole runs vanish and
+    * `k` IS the minimum-match-length knob (Lee et al. use 50).
+    *
+    * Plan: per-position gram hashes are NARROW ([[gramHashes]], codegen);
+    * sites materialize once for their two consumers; winner/count is ONE
+    * map-side-combinable hash aggregate keyed by gram (only duplicated
+    * grams — boilerplate-sized — survive the filter); losers come from a
+    * gram-keyed join (hot boilerplate gram = one build row, streaming
+    * probe); covered positions aggregate doc-keyed. Per-doc state is
+    * bounded by doc length, never corpus-shaped. The k× position blowup
+    * of the covered-explode is bounded by k·(losing sites) — duplicated
+    * text only, not the corpus.
+    *
+    * Returns the REMOVAL LANE only: `(doc_id, source, n_before,
+    * n_removed, clean_hash)` — clean_hash is [[TokenOps.contentHash]] of
+    * the surviving tokens (SQL-reproducible; arrays stay out of the
+    * result).
+    */
+  def removeDuplicateRuns(df: DataFrame, k: Int = K,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val skey = concat(col("doc_id"), lit("|"),
+      lpad(col("pos").cast("string"), 6, "0"))
+    val raw = df.filter(col("n_tok") >= k)
+      .select(col("doc_id"),
+        posexplode(gramHashes(col("tokens"), k)).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+    val sites = checkpointDir match {
+      case Some(dir) =>
+        val spark = df.sparkSession
+        val cur = spark.sparkContext.getCheckpointDir
+        if (!cur.exists(_.contains(dir))) spark.sparkContext.setCheckpointDir(dir)
+        raw.checkpoint(eager = true)
+      case None => raw.localCheckpoint(true)
+    }
+    val winners = sites.groupBy(col("gh"))
+      .agg(min(skey).as("wkey"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gh", "wkey")
+    val covered = sites.join(winners, "gh")
+      .filter(skey =!= col("wkey"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("cp")).as("cov"))
+    df.join(covered, "doc_id")
+      .select(col("doc_id"), col("source"),
+        col("n_tok").cast("long").as("n_before"),
+        size(col("cov")).cast("long").as("n_removed"),
+        TokenOps.contentHash(
+          expr("filter(tokens, (t, i) -> NOT array_contains(cov, i + 1))"))
+          .as("clean_hash"))
+  }
+
   /** Per-document substring-duplication stats: of the doc's `n_fp`
     * winnowing fingerprints, `dup_fp` also occur in at least one OTHER
     * document. Docs with `dup_fp = 0` are filtered (the interesting lane —

@@ -83,6 +83,65 @@ class WinnowSpec extends SparkSpec {
     assert(dups.count() > 50)
   }
 
+  test("duplicate-run removal: losing runs deleted, winner kept, clean hash exact") {
+    // k = Winnow.K = 16; run of 20 tokens shared by a < b < c; c also
+    // repeats the run twice internally
+    val run = (1 to 20).map(_ + 500)
+    val aTok = filler(10, 5) ++ run ++ filler(11, 6)
+    val bTok = filler(12, 9) ++ run ++ filler(13, 4)
+    val cTok = run ++ filler(14, 7) ++ run
+    val out = Winnow.removeDuplicateRuns(df(
+        ("a", aTok, "web"), ("b", bTok, "web"), ("c", cTok, "web"),
+        ("z", filler(20, 40), "web")))
+      .select("doc_id", "n_before", "n_removed", "clean_hash")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 'a' holds the lexicographically-first site of every run gram → winner
+    assert(!out.contains("a"))
+    assert(!out.contains("z")) // nothing shared
+    assert(out("b")._3 == 20L) // the whole run, exactly
+    // c loses both of its copies (winner sites live in a)
+    assert(out("c")._3 == 40L)
+    // clean hash equals the hash of the expected surviving arrays
+    def h(tk: Seq[Int]): Long = {
+      val s = tk.mkString(",")
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    assert(out("b")._4 == h(filler(12, 9) ++ filler(13, 4)))
+    assert(out("c")._4 == h(filler(14, 7)))
+  }
+
+  test("duplicate-run removal: one winner per planted block; removal lane exact") {
+    val rows = 600
+    val docs = Winnow.genWithBoilerplate(spark, rows = rows, parts = 4).toDF()
+    val out = Winnow.removeDuplicateRuns(docs)
+      .select("doc_id", "n_removed").as[(String, Long)].collect().toMap
+    // regenerate carrier membership the generator's way
+    val cfg = graft.core.GenConfig(rows = rows, maxTok = 384)
+    val carriers = (0L until rows).flatMap { id =>
+      val base = graft.core.Gen.rowOf(id, cfg)
+      val pick = graft.core.Mix.bounded(0xB011L, id, 7, 100)
+      if (pick < 35 && base.n_tok >= 96 + 8)
+        Some(base.doc_id -> graft.core.Mix.bounded(0xB022L, id, 8, 24))
+      else None
+    }
+    val byBlock = carriers.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    // each block keeps exactly one carrier out of the lane; all in-lane
+    // docs lose at least their 96-token planted run
+    val expectedLane = byBlock.values.flatMap(_.drop(1)).toSet
+    assert(out.keySet == expectedLane,
+      s"lane mismatch: extra=${out.keySet -- expectedLane} missing=${expectedLane -- out.keySet}")
+    out.values.foreach(n => assert(n >= 96L))
+  }
+
+  test("duplicate-run removal is partitioning-invariant") {
+    def digest(parts: Int) = Winnow.removeDuplicateRuns(
+        Winnow.genWithBoilerplate(spark, rows = 400, parts = parts).toDF())
+      .agg(expr("bit_xor(xxhash64(doc_id, n_removed, clean_hash))")).as[Long].head()
+    assert(digest(2) == digest(8))
+  }
+
   test("mixSample is a deterministic subset honoring per-source rates (ghost excluded)") {
     val rows = graft.core.Gen.tokenseq(spark,
       graft.core.GenConfig(rows = 4000, parts = 4)).toDF()
