@@ -257,6 +257,13 @@ object DataOpsQueries {
         col("embedding"), tau = 0.3, nlist = 16)
     }),
 
+    // ---- cluster-balanced diversity sampling (exact-n per embedding cell;
+    //      hash-order selection, map-side group limit) ----
+    "d_diversity_sample" -> ((s, dir) => {
+      Similarity.diversitySample(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), perCell = 5, nlist = 16)
+    }),
+
     // ---- benchmark decontamination (3-gram overlap vs a benchmark set) ----
     "d_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -302,6 +309,14 @@ object DataOpsQueries {
           valPpm = 20000, testPpm = 10000)
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_toks"))
+    }),
+
+    // ---- vocabulary pruning / UNK remap (fully-ordered top-V cut; narrow
+    //      remap with the vocab as a plan-time literal) ----
+    "p_vocab_prune" -> ((s, _) => {
+      graft.tokens.TokenOps.pruneVocab(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        vocabSize = 32, unkId = 50257)
     }),
 
     // ---- deterministic global training-order shuffle: exact permutation
@@ -829,6 +844,24 @@ object DataOpsQueries {
          |SELECT a.vec_id, a.cell, d.max_cos, d.max_cos IS NOT NULL AS is_dup
          |FROM assigned a LEFT JOIN d USING (vec_id)""".stripMargin,
 
+    // diversity-sample twin: the d_semdedup seeds/assignment CTEs + a
+    // per-cell QUALIFY over the same salted hash order.
+    "d_diversity_sample" ->
+      s"""WITH seeds AS (
+         |  SELECT embedding AS cent, CAST(row_number() OVER (
+         |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings QUALIFY cell < 16),
+         |ac AS (SELECT e.vec_id, s.cell,
+         |         ${duckCosRaw("e.embedding", "s.cent")} AS cos_c
+         |       FROM embeddings e CROSS JOIN seeds s),
+         |assigned AS (SELECT vec_id, cell FROM ac
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) = 1)
+         |SELECT vec_id, cell,
+         |  CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${dH15("concat('divers|', vec_id)")}, vec_id) AS BIGINT) AS cell_rank
+         |FROM assigned
+         |QUALIFY cell_rank <= 5""".stripMargin,
+
     "t_text_repetition" ->
       """SELECT doc_id,
         | round(CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS dup_word_frac,
@@ -889,6 +922,19 @@ object DataOpsQueries {
          |       WHEN b < 30000 THEN 'val' ELSE 'train' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
          |FROM g GROUP BY source, split""".stripMargin,
+
+    // vocab-prune twin: identical fully-ordered top-V cut; remap + count
+    // via list ops against the derived vocab list (unk = 50257, V = 32).
+    "p_vocab_prune" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |tok AS (SELECT unnest(tokens) AS t FROM d),
+         |v AS (SELECT t FROM (SELECT t, count(*) AS n FROM tok GROUP BY t)
+         |      QUALIFY row_number() OVER (ORDER BY n DESC, t) <= 32),
+         |vls AS (SELECT list(t) AS vl FROM v)
+         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(tokens, t -> NOT list_contains(vl, t))) AS BIGINT) AS n_unk,
+         |  ${dH15("array_to_string(list_transform(tokens, t -> CASE WHEN list_contains(vl, t) THEN t ELSE 50257 END), ',')")} AS pruned_hash
+         |FROM d, vls""".stripMargin,
 
     // global-shuffle twin: the bucketed rank must equal the plain global
     // ROW_NUMBER over the same (salted hash, id) order — the bucket

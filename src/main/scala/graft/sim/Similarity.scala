@@ -222,11 +222,7 @@ object Similarity {
   def ivfTopKSeeded(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
-    val cents: Seq[Array[Float]] = c
-      .withColumn("_hk", Hashing.h15(col("nbr_id").cast("string")))
-      .orderBy(col("_hk"), col("nbr_id")).limit(nlist)
-      .select(col("nbr_v")).collect().toSeq
-      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val cents = hashSeedCentroids(c, "nbr_id", "nbr_v", nlist)
 
     // cosine to centroid j — the centroid norm constant-folds at plan time
     def cellCos(v: Column, j: Int): Column =
@@ -281,15 +277,24 @@ object Similarity {
     * an explicit `nlist` stays as the override (the oracled query pins 16
     * so CORRECTNESS rows are untouched).
     */
+  /** Deterministic hash-seeded centroids: the first `nl` vectors in
+    * `(h15(id), id)` order — a model-sized `TakeOrderedAndProject` collect
+    * (the same class as a KMeans init), SQL-reproducible so cell oracles
+    * derive identical seeds. Shared by [[semDedup]], [[ivfTopKSeeded]]
+    * and [[diversitySample]].
+    */
+  private def hashSeedCentroids(c: DataFrame, idCol: String, vCol: String,
+                                nl: Int): Seq[Array[Float]] = c
+    .withColumn("_hk", Hashing.h15(col(idCol).cast("string")))
+    .orderBy(col("_hk"), col(idCol)).limit(nl)
+    .select(col(vCol)).collect().toSeq
+    .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+
   def semDedup(corpus: DataFrame, id: Column, vec: Column, tau: Double,
                nlist: Int = 16): DataFrame = {
     val c = corpus.select(id.as("vec_id"), vec.as("v"))
     val nl = if (nlist > 0) nlist else autoNlist(c.count())
-    val cents: Seq[Array[Float]] = c
-      .withColumn("_hk", Hashing.h15(col("vec_id").cast("string")))
-      .orderBy(col("_hk"), col("vec_id")).limit(nl)
-      .select(col("v")).collect().toSeq
-      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val cents = hashSeedCentroids(c, "vec_id", "v", nl)
 
     // norms once per vector, before the pair join. Assignment is ONE
     // narrow codegen'd expression looping the centroid matrix per row
@@ -329,6 +334,44 @@ object Similarity {
   def autoNlist(corpusCount: Long, targetCell: Int = 1024): Int =
     math.max(16L, (corpusCount + targetCell - 1) / targetCell)
       .min(Int.MaxValue.toLong).toInt
+
+  /** Cluster-balanced diversity sampling: exactly `min(perCell, |cell|)`
+    * vectors from every embedding cell — the "spread the eval/seed set
+    * over semantic space" selection (uniform sampling over-picks the dense
+    * head; per-cluster quotas cover the tail), the selection-side
+    * complement of [[semDedup]]'s removal rule.
+    *
+    * Cells are the same deterministic hash-seeded centroids + narrow
+    * [[NearestCell]] assignment as [[semDedup]] (SQL-reproducible;
+    * `nlist <= 0` self-sizes via [[autoNlist]]); within a cell, the kept
+    * rows are the `perCell` smallest salted id-hashes — a pure function
+    * of the id ([[graft.tokens.TokenOps.stratifiedSample]]'s rule), so
+    * reruns and any parallelism pick the SAME vectors.
+    *
+    * Scale shape (10^12 rows): assignment is narrow; `row_number ≤ n`
+    * over the cell key plants a map-side WindowGroupLimit, so each task
+    * forwards at most `perCell` rows per cell to the single cell-keyed
+    * shuffle — a hot cell costs perCell·tasks rows in flight, never its
+    * population.
+    */
+  def diversitySample(corpus: DataFrame, id: Column, vec: Column,
+                      perCell: Int, nlist: Int = 16): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val nl = if (nlist > 0) nlist else autoNlist(c.count())
+    val cents = hashSeedCentroids(c, "vec_id", "v", nl)
+    val assigned = {
+      import org.apache.spark.sql.graft.Bridge
+      c.withColumn("cell",
+        Bridge.column(NearestCell(Bridge.expression(col("v")), cents)))
+    }
+    val w = Window.partitionBy(col("cell")).orderBy(
+      Hashing.h15(concat(lit("divers|"), col("vec_id").cast("string"))),
+      col("vec_id"))
+    assigned.withColumn("cell_rank", row_number().over(w).cast("long"))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("vec_id"), col("cell"), col("cell_rank"))
+  }
 
   /** LSH-bucketed ANN: exact top-k *within* each query's sign bucket.
     * Probabilistic recall (multiprobe = flip 1 bit to widen); the

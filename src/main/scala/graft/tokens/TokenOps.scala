@@ -394,6 +394,42 @@ object TokenOps {
       contentHash(merged).as("merged_hash"))
   }
 
+  /** Vocabulary pruning / UNK remap: map every token outside the corpus
+    * top-`vocabSize` vocabulary to `unkId` — the remediation step after an
+    * [[graft.text.TextOps.oovRate]] audit flags a vocab budget, and the
+    * standard preprocessing for fixed-vocab models. The vocabulary cut is
+    * fully ordered (`count DESC, token ASC`) so the cut — and therefore
+    * every remapped array — is deterministic and SQL-reproducible.
+    *
+    * Scale shape (10^12 rows): ONE corpus scan for the token counts
+    * (map-side-combinable; vocab-bounded output), a model-sized
+    * `TakeOrderedAndProject` collect (the centroid-seed class), then a
+    * fully NARROW remap pass — the vocab rides into codegen as a literal
+    * array. At a production vocab (~50k) the per-token membership probe
+    * becomes a native hash-set expression (the [[graft.sketch.BloomSketch]]
+    * / StopwordHits pattern); the sandbox-sized literal keeps the oracled
+    * query exactly SQL-twinnable.
+    *
+    * Output keeps arrays out of the result: `(doc_id, source, n_tok,
+    * n_unk, pruned_hash)` with `pruned_hash` = [[contentHash]] of the
+    * remapped array.
+    */
+  def pruneVocab(df: DataFrame, vocabSize: Int, unkId: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab: Array[Int] = df.select(explode(col("tokens")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(vocabSize)
+      .select(col("t")).collect().map(_.getInt(0))
+    val vlit = lit(vocab)
+    df.select(col("doc_id"), col("source"),
+      col("n_tok").cast("long").as("n_tok"),
+      size(filter(col("tokens"), t => !array_contains(vlit, t)))
+        .cast("long").as("n_unk"),
+      contentHash(transform(col("tokens"), t =>
+        when(array_contains(vlit, t), t).otherwise(lit(unkId))))
+        .as("pruned_hash"))
+  }
+
   /** Deterministic global training-order shuffle: assign every row an exact
     * global permutation index `order_idx ∈ [0, N)` — the order the training
     * loop will consume the corpus in. Training data must be shuffled, but

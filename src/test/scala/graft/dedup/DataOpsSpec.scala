@@ -458,6 +458,38 @@ class DataOpsSpec extends SparkSpec {
     assert(repart === out)
   }
 
+  test("diversity sample: exact per-cell sizes, hash-minimal picks, invariant") {
+    val df = vecs(200)
+    val out = Similarity.diversitySample(df, col("vec_id"), col("embedding"),
+      perCell = 3, nlist = 8)
+      .select("vec_id", "cell", "cell_rank").as[(Long, Int, Long)].collect()
+    // sizes: min(3, |cell|) per cell; ranks contiguous from 1
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.length <= 3, s"cell $cell oversampled")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the picked ids are the smallest salted hashes within each full cell
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"divers|$id".getBytes).map("%02x".format(_))
+          .mkString.take(15), 16)
+    val full = Similarity.semDedup(df, col("vec_id"), col("embedding"),
+      tau = 2.0, nlist = 8) // tau>1: nothing dedups; reuse the cell assignment
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(full.map(_._2).toSet == out.map(_._2).toSet ||
+      out.map(_._2).toSet.subsetOf(full.map(_._2).toSet))
+    full.groupBy(_._2).foreach { case (cell, rows) =>
+      val expect = rows.map(_._1).sortBy(id => (h(id), id)).take(3).toSet
+      val got = out.filter(_._2 == cell).map(_._1).toSet
+      assert(got == expect, s"cell $cell picks differ")
+    }
+    val repart = Similarity.diversitySample(df.repartition(7), col("vec_id"),
+      col("embedding"), perCell = 3, nlist = 8)
+      .select("vec_id", "cell", "cell_rank").as[(Long, Int, Long)].collect()
+    assert(repart.toSet == out.toSet)
+  }
+
   // ---------- text ops ----------
 
   test("language-ID picks the profile language; 'und' when no stopwords hit") {

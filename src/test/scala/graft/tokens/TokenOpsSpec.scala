@@ -382,6 +382,26 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(repart.toSeq == k10.toSeq)
   }
 
+  test("vocab prune: fully-ordered cut, UNK counts and hashes exact") {
+    val df = tokDf(
+      ("d1", Seq(1, 1, 2, 3), "web"),
+      ("d2", Seq(2, 2, 3, 9), "web"))
+    // counts: 2→3, 1→2, 3→2, 9→1; V=2 cut by (n DESC, t ASC) = {2, 1}
+    val out = TokenOps.pruneVocab(df, vocabSize = 2, unkId = 777)
+      .select("doc_id", "n_unk", "pruned_hash")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def h(tk: Seq[Int]): Long = {
+      val s = tk.mkString(",")
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    assert(out("d1")._2 == 1L) // token 3
+    assert(out("d2")._2 == 2L) // tokens 3, 9
+    assert(out("d1")._3 == h(Seq(1, 1, 2, 777)))
+    assert(out("d2")._3 == h(Seq(2, 2, 777, 777)))
+  }
+
   test("shuffle order: exact permutation equal to the global (hash, id) rank") {
     val shufIn = Gen.tokenseq(spark, GenConfig(rows = 5000, parts = 8))
       .toDF().select("doc_id", "n_tok", "source")
