@@ -311,6 +311,21 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_toks"))
     }),
 
+    // ---- Count-Min sketch heavy hitters (mergeable counter table,
+    //      constant shuffle; estimates exactly SQL-reproducible) ----
+    "v_countmin" -> ((s, _) => {
+      val toks = graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8)
+        .toDF().select(explode(col("tokens")).as("ti"))
+        .select(col("ti").cast("long").as("t"))
+      val sk = toks.agg(
+        graft.sketch.CountMin.agg(col("t"), depth = 4, width = 1024).as("sk"))
+      val top = toks.groupBy(col("t")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("t")).limit(32)
+      top.crossJoin(broadcast(sk))
+        .select(col("t"), col("true_n"),
+          graft.sketch.CountMin.estimate(col("sk"), col("t"), 4).as("est_n"))
+    }),
+
     // ---- vocabulary pruning / UNK remap (fully-ordered top-V cut; narrow
     //      remap with the vocab as a plan-time literal) ----
     "p_vocab_prune" -> ((s, _) => {
@@ -922,6 +937,29 @@ object DataOpsQueries {
          |       WHEN b < 30000 THEN 'val' ELSE 'train' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
          |FROM g GROUP BY source, split""".stripMargin,
+
+    // count-min twin: rebuild the exact integer counter table from raw
+    // counts (cell = h15('cm'||j||'|'||key) % width — same decimal-ASCII
+    // scheme as the JVM sketch), then min over depth rows per candidate.
+    "v_countmin" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |tc AS (SELECT t, count(*) AS n
+         |       FROM (SELECT unnest(tokens) AS t FROM d) GROUP BY t),
+         |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |cells AS (SELECT j, pos, sum(n) AS c
+         |          FROM (SELECT n, j,
+         |                  (${dH15("concat('cm', j, '|', t)")} % 1024) AS pos
+         |                FROM tc CROSS JOIN js)
+         |          GROUP BY j, pos),
+         |top AS (SELECT t, n FROM tc
+         |        QUALIFY row_number() OVER (ORDER BY n DESC, t) <= 32),
+         |cand AS (SELECT top.t, top.n, js.j,
+         |           (${dH15("concat('cm', js.j, '|', top.t)")} % 1024) AS pos
+         |         FROM top CROSS JOIN js)
+         |SELECT CAST(cand.t AS BIGINT) AS t, CAST(cand.n AS BIGINT) AS true_n,
+         |  CAST(min(cells.c) AS BIGINT) AS est_n
+         |FROM cand JOIN cells USING (j, pos)
+         |GROUP BY cand.t, cand.n""".stripMargin,
 
     // vocab-prune twin: identical fully-ordered top-V cut; remap + count
     // via list ops against the derived vocab list (unk = 50257, V = 32).
