@@ -311,6 +311,14 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_toks"))
     }),
 
+    // ---- cross-snapshot diff (added/removed/changed between two corpus
+    //      commits; skinny hash projections, one full-outer join) ----
+    "d_snapshot_diff" -> ((s, _) => {
+      graft.tokens.TokenOps.snapshotDiff(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        graft.tokens.Winnow.genSnapshotNew(s, rows = 3000, parts = 8))
+    }),
+
     // ---- Count-Min sketch heavy hitters (mergeable counter table,
     //      constant shuffle; estimates exactly SQL-reproducible) ----
     "v_countmin" -> ((s, _) => {
@@ -937,6 +945,21 @@ object DataOpsQueries {
          |       WHEN b < 30000 THEN 'val' ELSE 'train' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
          |FROM g GROUP BY source, split""".stripMargin,
+
+    // snapshot-diff twin: h15 content hashes + one FULL OUTER join, same
+    // three lanes, unchanged filtered.
+    "d_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, ${dH15("array_to_string(tokens, ',')")} AS oh
+         |           FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |n AS (SELECT doc_id, ${dH15("array_to_string(tokens, ',')")} AS nh
+         |      FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_snap2/*.parquet')),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, oh, nh
+         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN oh IS NULL THEN 'added'
+         |       WHEN nh IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS lane
+         |FROM j WHERE oh IS NULL OR nh IS NULL OR oh <> nh""".stripMargin,
 
     // count-min twin: rebuild the exact integer counter table from raw
     // counts (cell = h15('cm'||j||'|'||key) % width — same decimal-ASCII

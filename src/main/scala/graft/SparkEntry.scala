@@ -51,7 +51,9 @@ object SparkEntry {
     "gen_html" -> (s =>
       graft.text.Html.genHtmlDocs(s, rows = 4000, parts = 8).toDF()),
     "gen_urls" -> (s =>
-      graft.text.Urls.genUrls(s, rows = 4000, parts = 8).toDF()))
+      graft.text.Urls.genUrls(s, rows = 4000, parts = 8).toDF()),
+    "gen_snap2" -> (s =>
+      graft.tokens.Winnow.genSnapshotNew(s, rows = 3000, parts = 8)))
 
   /** Generator output minus the token payload — the pipeline oracles only
     * touch (doc_id, n_tok, source), so the materialized input stays small.

@@ -485,6 +485,33 @@ object TokenOps {
       .drop("_sh", "_bk", "_off")
   }
 
+  /** Cross-snapshot diff: the audit every corpus commit emits — which
+    * docs were ADDED, REMOVED, or CHANGED (same id, different token
+    * content) between two snapshots. Content identity is
+    * [[contentHash]], so a re-encode that preserves tokens is NOT a
+    * change and the diff is SQL-reproducible.
+    *
+    * Scale shape (10^12 rows): both sides project to skinny (id, hash)
+    * rows — in production the PERSISTED hash-index column of each
+    * committed snapshot, so the corpus bodies are never read — and meet
+    * in ONE id-keyed full-outer sort-merge join; the unchanged lane
+    * (almost everything) is filtered before anything downstream sees it.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   oldHash: Column = contentHash(col("tokens")),
+                   newHash: Column = contentHash(col("tokens"))): DataFrame = {
+    val o = oldDf.select(col("doc_id"), oldHash.as("oh"))
+    val n = newDf.select(col("doc_id"), newHash.as("nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("lane",
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("lane") =!= "unchanged")
+      .select(col("doc_id"), col("lane"))
+  }
+
   /** Incremental exact dedup: the NEW-batch rows whose token content does
     * not already exist in the corpus (ingest-time dedup against the
     * already-committed trillions). Exact semantics — equivalent to an

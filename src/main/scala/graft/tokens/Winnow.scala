@@ -80,6 +80,22 @@ object Winnow {
     }
   }
 
+  /** The "next commit" of the [[genWithBoilerplate]] corpus for
+    * snapshot-diff oracles: the id window slides by `shift` (old head
+    * removed, new tail added) and every surviving doc with
+    * `h15(doc_id) mod 11 = 0` gets one token appended (the changed lane).
+    * Pure per-row column program over the pure generator — identical at
+    * any parallelism.
+    */
+  def genSnapshotNew(spark: SparkSession, rows: Long = 3000, parts: Int = 8,
+                     shift: Long = 500): DataFrame = {
+    val mut = pmod(Hashing.h15(col("doc_id")), lit(11L)) === 0L
+    genWithBoilerplate(spark, rows = rows, parts = parts, startId = shift).toDF()
+      .withColumn("tokens",
+        when(mut, concat(col("tokens"), array(lit(7)))).otherwise(col("tokens")))
+      .withColumn("n_tok", when(mut, col("n_tok") + 1).otherwise(col("n_tok")))
+  }
+
   /** Deterministic corpus+batch generator with planted EXACT duplicates:
     * ids `[0, corpusRows)` are the existing corpus; ids `[corpusRows,
     * corpusRows + batchRows)` are the new-ingest batch, of which

@@ -382,6 +382,27 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(repart.toSeq == k10.toSeq)
   }
 
+  test("snapshot diff: exact added/removed/changed lanes on the slid window") {
+    val oldDf = Winnow.genWithBoilerplate(spark, rows = 3000, parts = 8).toDF()
+    val newDf = Winnow.genSnapshotNew(spark, rows = 3000, parts = 8)
+    val out = TokenOps.snapshotDiff(oldDf, newDf)
+      .select("doc_id", "lane").as[(String, String)].collect()
+    val lanes = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val oldIds = oldDf.select("doc_id").as[String].collect().toSet
+    val newIds = newDf.select("doc_id").as[String].collect().toSet
+    assert(lanes("removed") == (oldIds -- newIds)) // the slid-out head
+    assert(lanes("added") == (newIds -- oldIds))   // the slid-in tail
+    assert(lanes("removed").size == 500 && lanes("added").size == 500)
+    // changed = surviving ids whose h15 mod 11 == 0 (the planted mutation)
+    def h(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val expectChanged = (oldIds & newIds).filter(id => h(id) % 11 == 0)
+    assert(lanes("changed") == expectChanged)
+    assert(out.length == lanes.values.map(_.size).sum) // no unchanged leaks
+  }
+
   test("vocab prune: fully-ordered cut, UNK counts and hashes exact") {
     val df = tokDf(
       ("d1", Seq(1, 1, 2, 3), "web"),
