@@ -370,6 +370,50 @@ object ScaleUpBench {
         s""""secs":$bSecs,"secs_cold":${timed.head._2}}""")
       spark.stop()
 
+    case "--strip" :: nDocs :: rest if rest.size <= 1 =>
+      // duplicate-run removal scale probe (gen_boiler shape): the
+      // stride-1 site stream is the inherent cost of exact substring
+      // dedup; what must NOT grow super-linearly is the winner aggregate
+      // (duplicated grams only) and the loser join.
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_strip_input")
+      graft.tokens.Winnow.genWithBoilerplate(spark, nDocs.toLong, parts = 32)
+        .toDF().write.mode("overwrite").parquet(s"$dir/tokens.parquet")
+      val df = spark.read.parquet(s"$dir/tokens.parquet")
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val stats = graft.tokens.Winnow.removeDuplicateRuns(df)
+          .agg(count(lit(1)).as("docs_hit"), sum(col("n_removed")).as("toks_removed"))
+          .collect()(0)
+        (stats, (System.nanoTime() - t0) / 1e9)
+      }
+      val (stats, _) = timed.head
+      println(s"""STRIP {"docs":$nDocs,"docs_hit":${stats.getLong(0)},""" +
+        s""""toks_removed":${stats.getLong(1)},"secs":${timed.map(_._2).min},""" +
+        s""""secs_cold":${timed.head._2}}""")
+      spark.stop()
+
+    case "--shuffle" :: nRows :: rest if rest.size <= 1 =>
+      // global training-order shuffle probe: the bucketed-rank plan's
+      // cost must stay ~linear (per-bucket window sorts N/B rows; B
+      // self-sizes). Input materialized first; timed region = the op.
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/tmp/graft_shuffle_input")
+      graft.core.Gen.tokenseq(spark,
+          graft.core.GenConfig(rows = nRows.toLong, maxTok = 32, parts = 32))
+        .toDF().select(col("doc_id"), col("n_tok"), col("source"))
+        .write.mode("overwrite").parquet(s"$dir/rows.parquet")
+      val df = spark.read.parquet(s"$dir/rows.parquet")
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val mx = graft.tokens.TokenOps.shuffleOrder(df) // self-sized buckets
+          .agg(max(col("order_idx")).as("mx")).collect()(0).getLong(0)
+        (mx, (System.nanoTime() - t0) / 1e9)
+      }
+      println(s"""SHUFFLE {"rows":$nRows,"max_idx":${timed.head._1},""" +
+        s""""secs":${timed.map(_._2).min},"secs_cold":${timed.head._2}}""")
+      spark.stop()
+
     case "--semdedup" :: dir :: rest if rest.size <= 1 =>
       // SemDeDup scale probe over the materialized embeddings table. With
       // no nlist argument the operator SELF-SIZES (Similarity.autoNlist —
@@ -393,7 +437,7 @@ object ScaleUpBench {
       spark.stop()
 
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] | --pii nDocs [dir] | --bpe nDocs [dir] | --semdedup dir [nlist] (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] | --pii nDocs [dir] | --strip nDocs [dir] | --shuffle nRows [dir] | --bpe nDocs [dir] | --semdedup dir [nlist] (got $other)")
       sys.exit(2)
   }
 }
