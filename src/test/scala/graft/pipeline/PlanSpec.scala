@@ -220,6 +220,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
   }
 
+  test("global shuffle: bucket-partitioned window, never a single-partition sort") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (s"d$i", 10, "web")).toDF("doc_id", "n_tok", "source")
+    val p = plan(graft.tokens.TokenOps.shuffleOrder(d, buckets = 8))
+    // the rank window partitions by bucket — no Exchange SinglePartition
+    // (the plan a global row_number() OVER (ORDER BY …) would force)
+    assert(!p.contains("SinglePartition"), s"global sort leaked in:\n$p")
+    assert(p.contains("Window"), p)
+    // offsets arrive via broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("vocab prune: remap stage is narrow (vocab is a plan literal)") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (s"d$i", Array.tabulate(16)(j => (i + j).toInt), 16, "web"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val p = plan(graft.tokens.TokenOps.pruneVocab(d, vocabSize = 8, unkId = 9999))
+    // after the driver-side vocab cut the output plan is pure projection:
+    // no Exchange, no Join — the vocab rides as a literal array
+    assert(!p.contains("Exchange"), s"vocab prune shuffles:\n$p")
+    assert(!p.contains("Join"), s"vocab prune joins:\n$p")
+  }
+
+  test("diversity sample gets a map-side WindowGroupLimit; url canon is narrow") {
+    import spark.implicits._
+    val vecs = (0L until 100L).map(i => (i, Array.tabulate(16)(j =>
+      ((graft.core.Mix.mix64(i * 131L + j) % 1000L) / 1000.0f))))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.sim.Similarity.diversitySample(vecs, col("vec_id"),
+      col("embedding"), perCell = 3, nlist = 8))
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side limit phase:\n$p")
+
+    val urls = (1L to 100L).map(i => (i, s"http://ex$i.com/a?b=$i"))
+      .toDF("doc_id", "url")
+    val pu = plan(urls.select(graft.text.Urls.canonicalize(col("url")).as("c")))
+    assert(!pu.contains("Exchange"), s"url canon shuffles:\n$pu")
+  }
+
+  test("duplicate-run removal: no cartesian; winner aggregate combines map-side") {
+    val d = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 200, parts = 4).toDF()
+    val p = plan(graft.tokens.Winnow.removeDuplicateRuns(d))
+    assert(!p.contains("Cartesian"), s"cartesian in strip plan:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"winner agg not map-side:\n$p")
+  }
+
   test("semdedup: assignment narrow (literal centroids), pair join keyed by cell") {
     import spark.implicits._
     val d = (0L until 100L).map(i => (i, Array.tabulate(16)(j =>
