@@ -53,7 +53,9 @@ object SparkEntry {
     "gen_urls" -> (s =>
       graft.text.Urls.genUrls(s, rows = 4000, parts = 8).toDF()),
     "gen_snap2" -> (s =>
-      graft.tokens.Winnow.genSnapshotNew(s, rows = 3000, parts = 8)))
+      graft.tokens.Winnow.genSnapshotNew(s, rows = 3000, parts = 8)),
+    "gen_warc" -> (s =>
+      graft.functions.Warc.genWarcRecords(s, rows = 4000, parts = 8).toDF()))
 
   /** Generator output minus the token payload — the pipeline oracles only
     * touch (doc_id, n_tok, source), so the materialized input stays small.

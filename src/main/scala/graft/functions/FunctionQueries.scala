@@ -786,6 +786,13 @@ object FunctionQueries {
     }),
 
     // ---- byte-stream framing (newline/char/octet/length/varint) ----
+    // ---- WARC record framing + parse (ISO 28500; content-length-aware
+    //      split survives payloads embedding the header terminator) ----
+    "f_warc" -> ((s, _) => {
+      Warc.splitAndParse(
+        Warc.genWarcRecords(s, rows = 4000, parts = 8).toDF(), perBlob = 50)
+    }),
+
     "f_framing" -> ((s, dir) => {
       val a = col("event_type")
       val b2 = concat(lit("u"), col("user_id").cast("string"))
@@ -1314,6 +1321,15 @@ object FunctionQueries {
         | 'svc-' || (user_id % 5) AS o_svc,
         | true AS o_bad
         |FROM events""".stripMargin,
+
+    // WARC twin: parse the SAME fields straight from the per-record
+    // materialized table — the Spark side must round-trip through the
+    // concatenated blobs and the content-length splitter to match.
+    "f_warc" ->
+      s"""SELECT CAST(rec_id AS BIGINT) AS rec_id,
+         |  ${Warc.duckFields}
+         |FROM (SELECT rec_id, record AS rec
+         |      FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_warc/*.parquet'))""".stripMargin,
 
     "f_framing" ->
       """SELECT event_id,
