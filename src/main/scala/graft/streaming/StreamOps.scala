@@ -65,6 +65,28 @@ object StreamOps {
     stream.withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Ingest-time dedupe of a token stream against the COMMITTED corpus:
+    * the streaming face of [[graft.tokens.TokenOps.incrementalDedupe]].
+    * The corpus Bloom sketch (built once per snapshot commit,
+    * [[graft.tokens.TokenOps.bloomSketchValue]]) ships as a broadcast
+    * variable; each arriving row pays one narrow codegen'd k-bit probe —
+    * no per-batch join against the corpus, no state store. Bloom has no
+    * false negatives, so `maybe_seen = false` rows are PROVABLY new and
+    * flow through; the surviving maybe-lane (true dups + bounded false
+    * positives) is tagged for the downstream exact check (or dropped
+    * when `dropMaybe`). Composes with [[dedupeStream]] for WITHIN-stream
+    * dups — sketch probe handles stream-vs-corpus, the watermark state
+    * handles stream-vs-stream.
+    */
+  def dedupeAgainstCorpus(stream: DataFrame, sketch: Array[Byte], k: Int = 3,
+                          dropMaybe: Boolean = false): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(sketch)
+    val flagged = stream.withColumn("maybe_seen",
+      graft.sketch.BloomSketch.probe(bc,
+        graft.tokens.TokenOps.contentHash(col("tokens")), k))
+    if (dropMaybe) flagged.filter(!col("maybe_seen")) else flagged
+  }
+
   final case class Keyed(key: String, ts: java.sql.Timestamp, payload: String)
   final case class ThrottleState(windowStartMs: Long, count: Int)
 

@@ -234,4 +234,28 @@ class StreamOpsSpec extends SparkSpec {
         s"state not cleared: ${lastState.map(_.numRowsTotal)}")
     } finally q.stop()
   }
+
+  test("corpus-sketch dedupe on a stream: no false negatives, dups flagged") {
+    implicit val sq = spark.sqlContext
+    // committed corpus = ids 0..999; the stream replays ids 500..1499 with
+    // NEW doc_ids — first half are content-dups, second half genuinely new
+    val cfg = graft.core.GenConfig(rows = 2000, maxTok = 64)
+    val corpus = spark.range(0, 1000, 1, 4).as[Long]
+      .map(i => Gen.rowOf(i, cfg)).toDF()
+    val sketch = graft.tokens.TokenOps.bloomSketchValue(corpus, mBits = 1L << 16)
+    val in = MemoryStream[StreamRow]
+    in.addData((500L until 1500L).map { i =>
+      val r = Gen.rowOf(i, cfg)
+      StreamRow(ts((i - 500).toInt), s"stream-$i", r.tokens, r.n_tok, r.source)
+    }: _*)
+    runToMemory(StreamOps.dedupeAgainstCorpus(in.toDF(), sketch)
+      .select("doc_id", "maybe_seen"), "sketchdedupe")
+    val got = spark.table("sketchdedupe").as[(String, Boolean)].collect().toMap
+    assert(got.size == 1000)
+    // Bloom law: every true dup (500..999 replay corpus content) IS flagged
+    (500L until 1000L).foreach(i => assert(got(s"stream-$i"), s"false negative at $i"))
+    // and the genuinely-new lane mostly passes (false positives bounded)
+    val fp = (1000L until 1500L).count(i => got(s"stream-$i"))
+    assert(fp < 50, s"false-positive rate too high: $fp/500")
+  }
 }
