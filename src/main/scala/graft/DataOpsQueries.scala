@@ -25,6 +25,34 @@ object DataOpsQueries {
   // ---------- DuckDB dialect fragments (kept beside their Spark twins) ----------
 
   private def dH15(e: String) = s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** The NB quality-classifier twin — shared verbatim between
+    * `t_quality_classifier` and the soft-sampling query built on it.
+    */
+  private val QualityClassifierSql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS tk FROM documents),
+      |lab AS (SELECT doc_id, tk,
+      |  (len(tk) BETWEEN 10 AND 100000)
+      |   AND (round(list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE, 4) BETWEEN 2 AND 12)
+      |   AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2) AS pos
+      |  FROM d),
+      |tok AS (SELECT doc_id, pos, unnest(tk) AS w FROM lab),
+      |vocab AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+      |                 sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS c_neg
+      |          FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(c_pos) AS DOUBLE) AS n_pos, CAST(sum(c_neg) AS DOUBLE) AS n_neg,
+      |               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+      |pri AS (SELECT CAST(round((ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+      |                         - ln(CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)) * 1000000 + 1e-9, 0) AS BIGINT) AS prior FROM lab),
+      |model AS (SELECT w, CAST(round(((ln(CAST(c_pos AS DOUBLE) + 1.0) - ln(n_pos + v))
+      |                              - (ln(CAST(c_neg AS DOUBLE) + 1.0) - ln(n_neg + v))) * 1000000 + 1e-9, 0) AS BIGINT) AS lo
+      |          FROM vocab, tot),
+      |doc AS (SELECT t.doc_id, count(*)::BIGINT AS n_words, CAST(sum(lo) AS BIGINT) AS sum_lo,
+      |               max(CASE WHEN pos THEN 1 ELSE 0 END) AS seed_pos
+      |        FROM tok t JOIN model USING (w) GROUP BY t.doc_id)
+      |SELECT doc_id, n_words, prior + sum_lo AS logodds_micronats,
+      |       (prior + sum_lo) > 0 AS pred_quality, seed_pos = 1 AS seed_label
+      |FROM doc, pri""".stripMargin
   private def dH31(e: String) = s"(${dH15(e)} % 2147483647)"
 
   /** Left-fold double sum — DuckDB's guaranteed-sequential reduction, the
@@ -179,6 +207,18 @@ object DataOpsQueries {
     "t_oov_rate" -> ((s, dir) => {
       TextOps.oovRate(Tables.documents(s, dir), col("text"), col("doc_id"),
         vocabSize = 20)
+    }),
+
+    // ---- soft quality sampling (classifier-score-weighted keep rate,
+    //      hash-decided — the GPT-3 appendix rule, replay-stable) ----
+    "t_quality_sample" -> ((s, dir) => {
+      TextOps.qualitySample(Tables.documents(s, dir), col("text"), col("doc_id"))
+    }),
+
+    // ---- corpus datasheet card (one-row release audit: totals, dup rate,
+    //      quality pass rate, dominant language — all integer/ppm) ----
+    "t_corpus_card" -> ((s, dir) => {
+      TextOps.corpusCard(Tables.documents(s, dir), col("text"), col("lang"))
     }),
 
     // ---- source-distribution drift audit (per-source integer-ppm L2
@@ -667,30 +707,19 @@ object DataOpsQueries {
         |       (sum_cost // n_words) < 9500000 AS keep
         |FROM doc""".stripMargin,
 
-    "t_quality_classifier" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS tk FROM documents),
-        |lab AS (SELECT doc_id, tk,
-        |  (len(tk) BETWEEN 10 AND 100000)
-        |   AND (round(list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE, 4) BETWEEN 2 AND 12)
-        |   AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2) AS pos
-        |  FROM d),
-        |tok AS (SELECT doc_id, pos, unnest(tk) AS w FROM lab),
-        |vocab AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
-        |                 sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS c_neg
-        |          FROM tok GROUP BY w),
-        |tot AS (SELECT CAST(sum(c_pos) AS DOUBLE) AS n_pos, CAST(sum(c_neg) AS DOUBLE) AS n_neg,
-        |               CAST(count(*) AS DOUBLE) AS v FROM vocab),
-        |pri AS (SELECT CAST(round((ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
-        |                         - ln(CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)) * 1000000 + 1e-9, 0) AS BIGINT) AS prior FROM lab),
-        |model AS (SELECT w, CAST(round(((ln(CAST(c_pos AS DOUBLE) + 1.0) - ln(n_pos + v))
-        |                              - (ln(CAST(c_neg AS DOUBLE) + 1.0) - ln(n_neg + v))) * 1000000 + 1e-9, 0) AS BIGINT) AS lo
-        |          FROM vocab, tot),
-        |doc AS (SELECT t.doc_id, count(*)::BIGINT AS n_words, CAST(sum(lo) AS BIGINT) AS sum_lo,
-        |               max(CASE WHEN pos THEN 1 ELSE 0 END) AS seed_pos
-        |        FROM tok t JOIN model USING (w) GROUP BY t.doc_id)
-        |SELECT doc_id, n_words, prior + sum_lo AS logodds_micronats,
-        |       (prior + sum_lo) > 0 AS pred_quality, seed_pos = 1 AS seed_label
-        |FROM doc, pri""".stripMargin,
+    "t_quality_classifier" -> QualityClassifierSql,
+
+    // soft quality sampling twin: the classifier CTE + the identical
+    // offset-division rate map and salted keep hash.
+    "t_quality_sample" ->
+      s"""WITH qc AS ($QualityClassifierSql)
+         |SELECT doc_id, keep_ppm,
+         |  (${dH15("concat('qs|', doc_id)")} % 1000000) < keep_ppm AS kept
+         |FROM (SELECT doc_id,
+         |        greatest(least(500000 +
+         |          ((logodds_micronats + 4000000000000) // 1000 - 4000000000),
+         |          1000000), 10000) AS keep_ppm
+         |      FROM qc)""".stripMargin,
 
     "t_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -721,6 +750,27 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // corpus-card twin: same totals, md5 distinct, the t_text_quality keep
+    // expression, and a QUALIFY top-1 language cross-joined on.
+    "t_corpus_card" ->
+      """WITH base AS (SELECT text, lang, string_split(text, ' ') AS tk FROM documents),
+        |agg AS (SELECT count(*) AS n_docs,
+        |          CAST(sum(len(tk)) AS BIGINT) AS n_words,
+        |          count(DISTINCT md5(text)) AS n_distinct,
+        |          CAST(sum(CASE WHEN
+        |            (len(tk) BETWEEN 10 AND 100000)
+        |            AND (round(list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE, 4) BETWEEN 2 AND 12)
+        |            AND (round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / greatest(len(text),1)::DOUBLE, 4) <= 0.2)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |        FROM base),
+        |top AS (SELECT lang AS top_lang FROM base GROUP BY lang
+        |        QUALIFY row_number() OVER (ORDER BY count(*) DESC, lang) = 1)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, n_words,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, n_keep,
+        |  (n_docs - n_distinct) * 1000000 // n_docs AS dup_ppm,
+        |  n_keep * 1000000 // n_docs AS keep_ppm, top_lang
+        |FROM agg, top""".stripMargin,
 
     // source-drift twin: identical salted parity split, top-64 vocab cut
     // (count DESC, word ASC), integer-ppm vectors, L2² sum. `//` (floor)

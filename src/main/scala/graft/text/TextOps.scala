@@ -96,6 +96,54 @@ object TextOps {
       (cols("symbol_ratio") <= 0.2)
   }
 
+  /** Deterministic soft quality sampling (the GPT-3 appendix rule — keep
+    * probability rises with the classifier score — made replay-stable):
+    * keep a doc iff `h15("qs|"+id) mod 10⁶ < keep_ppm`, with
+    * `keep_ppm = clamp(500000 + logodds_micronats/1000, 10⁴, 10⁶)` from
+    * [[nbQualityClassifier]]'s integer log-odds. Hash-decided (never
+    * `rand()`): reruns, retries, and any parallelism keep the SAME docs,
+    * and a SQL twin reproduces the selection exactly. The division uses a
+    * large positive offset so Spark's truncating `DIV` equals DuckDB's
+    * flooring `//` on negative scores. The salt namespace is distinct
+    * from mix/split/strat, so composing stages doesn't correlate.
+    *
+    * Scale shape: the classifier's two corpus scans + vocab-sized model
+    * join, then a fully narrow rate/keep projection.
+    */
+  def qualitySample(df: DataFrame, text: Column, id: Column): DataFrame =
+    nbQualityClassifier(df, text, id)
+      .select(col("doc_id"),
+        greatest(least(
+          lit(500000L) +
+            expr("(logodds_micronats + 4000000000000) DIV 1000 - 4000000000"),
+          lit(1000000L)), lit(10000L)).as("keep_ppm"))
+      .withColumn("kept",
+        pmod(Hashing.h15(concat(lit("qs|"), col("doc_id"))), lit(1000000L))
+          < col("keep_ppm"))
+
+  /** Corpus "datasheet" card: the one-row audit a dataset release ships —
+    * doc/word totals, exact-dup rate, quality-gate pass rate, dominant
+    * language — all integer/ppm so the row is engine-exact.
+    *
+    * Scale shape (10^12 rows): two map-side-combinable aggregates (the
+    * exact `countDistinct(md5)` shuffles one row per DISTINCT text; at
+    * extreme cardinality swap in `approx_count_distinct` — same plan,
+    * HLL-sketch-sized partials) plus a language top-1
+    * (`TakeOrderedAndProject`) broadcast onto the single card row.
+    */
+  def corpusCard(df: DataFrame, text: Column, lang: Column): DataFrame = {
+    val agg1 = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(wordCount(text).cast("long")).as("n_words"),
+      countDistinct(md5(text)).as("n_distinct"),
+      sum(when(qualityKeep(text), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("dup_ppm", expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
+      .withColumn("keep_ppm", expr("n_keep * 1000000 DIV n_docs"))
+    val top = df.groupBy(lang.as("top_lang")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("top_lang")).limit(1).select("top_lang")
+    agg1.crossJoin(broadcast(top))
+  }
+
   /** Positional document fingerprint: fold of the cross-engine token hash
     * with a 31-multiplier rolling accumulator (Rabin-Karp-style), mod
     * 2^31-1. Collision-resistant enough for dedup bucketing, cheap enough

@@ -561,6 +561,41 @@ class DataOpsSpec extends SparkSpec {
     assert(repart === out)
   }
 
+  test("corpus card: exact one-row audit on a hand fixture") {
+    val good = (1 to 20).map(i => s"word$i").mkString(" ") // passes the gate
+    val df = Seq(
+      (1L, good, "en"), (2L, good, "en"),      // exact dup pair
+      (3L, "too short", "fr"), (4L, good + " tail", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.corpusCard(df, col("text"), col("lang")).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("dup_ppm") == 250000L)
+    assert(r.getAs[Long]("n_keep") == 3L) // doc 3 fails the length gate
+    assert(r.getAs[Long]("keep_ppm") == 750000L)
+    assert(r.getAs[String]("top_lang") == "en")
+  }
+
+  test("quality sample: rate map from the classifier score; replay-stable") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = TextOps.qualitySample(docs, col("text"), col("doc_id"))
+      .select("doc_id", "keep_ppm", "kept").as[(Long, Long, Boolean)].collect()
+    assert(out.length == 500)
+    out.foreach { case (_, ppm, _) =>
+      assert(ppm >= 10000L && ppm <= 1000000L) }
+    // keep decision recomputes from the hash rule exactly
+    def h(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    out.foreach { case (id, ppm, kept) =>
+      assert(kept == (h(s"qs|$id") % 1000000L < ppm), s"doc $id") }
+    // partitioning-invariant
+    val again = TextOps.qualitySample(docs.repartition(7), col("text"), col("doc_id"))
+      .select("doc_id", "keep_ppm", "kept").as[(Long, Long, Boolean)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("quality keep: too-short and symbol-heavy docs dropped") {
     val df = Seq(
       (1L, base),                                  // good
