@@ -434,6 +434,13 @@ object DataOpsQueries {
         graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF())
     }),
 
+    // ---- COMPOSED web-curation pipeline: HTML extract → density/length
+    //      gates → PII scrub → exact dedup, each stage already oracled ----
+    "d_web_pipeline" -> ((s, _) => {
+      graft.text.Html.webPipeline(
+        graft.text.Html.genWebPages(s, rows = 4000, parts = 8).toDF())
+    }),
+
     // ---- exact duplicate-run REMOVAL (Lee et al. ExactSubstr at k-gram
     //      granularity: first occurrence wins, losing runs deleted) ----
     "d_substring_strip" -> ((s, _) => {
@@ -1124,6 +1131,33 @@ object DataOpsQueries {
          |FROM e JOIN s USING (fp)
          |GROUP BY e.doc_id, e.source
          |HAVING CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
+    },
+
+    // web-pipeline twin: the extract, gate, scrub, and dedup CTEs chained —
+    // extract/scrub fragments GENERATED from the same Html/Pii constants.
+    "d_web_pipeline" -> {
+      import graft.text.{Html, Pii}
+      val clean = "trim(regexp_replace(regexp_replace(regexp_replace(html, " +
+        s"'${Html.ScriptPat}', ' ', 'g'), '${Html.TagPat}', ' ', 'g'), '  +', ' ', 'g'))"
+      val counts = Pii.Categories.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+      }.mkString(", ")
+      val scrub = Pii.Categories.foldLeft("text") { case (e, (_, pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      val piiSum = Pii.Categories.map { case (n, _, _) => s"n_$n" }.mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, html FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_web/*.parquet')),
+         |e AS (SELECT doc_id, $clean AS text, len(html) AS raw_len FROM h),
+         |g AS (SELECT doc_id, text FROM e
+         |      WHERE (len(text) * 1000000) // greatest(raw_len, 1) >= 100000
+         |        AND len(text) >= 40),
+         |s AS (SELECT doc_id, $counts, $scrub AS scrubbed FROM g),
+         |d AS (SELECT doc_id, CAST($piiSum AS BIGINT) AS n_pii, scrubbed,
+         |        ${dH15("scrubbed")} AS ph FROM s),
+         |w AS (SELECT ph, min(doc_id) AS keep_id FROM d GROUP BY ph)
+         |SELECT d.doc_id, d.n_pii, CAST(len(d.scrubbed) AS BIGINT) AS clean_len,
+         |  d.ph AS clean_hash
+         |FROM d JOIN w ON d.ph = w.ph AND d.doc_id = w.keep_id""".stripMargin
     },
 
     // duplicate-run removal twin: identical per-position gram hashes,

@@ -55,7 +55,9 @@ object SparkEntry {
     "gen_snap2" -> (s =>
       graft.tokens.Winnow.genSnapshotNew(s, rows = 3000, parts = 8)),
     "gen_warc" -> (s =>
-      graft.functions.Warc.genWarcRecords(s, rows = 4000, parts = 8).toDF()))
+      graft.functions.Warc.genWarcRecords(s, rows = 4000, parts = 8).toDF()),
+    "gen_web" -> (s =>
+      graft.text.Html.genWebPages(s, rows = 4000, parts = 8).toDF()))
 
   /** Generator output minus the token payload — the pipeline oracles only
     * touch (doc_id, n_tok, source), so the materialized input stays small.

@@ -141,4 +141,92 @@ object Html {
     import spark.implicits._
     spark.range(0, rows, 1, parts).as[Long].map(rowOf)
   }
+
+  // ---- end-to-end web-curation pipeline ---------------------------------
+
+  private def wg(g: Long, k: Int): String =
+    Words(Mix.bounded(0x5105L, g, k, Words.length))
+
+  /** Web-page generator for the COMPOSED pipeline: every textual element
+    * is a pure function of a content GROUP `g` (so refetches of one page
+    * fold to identical extracted text), while scripts, hrefs, and extra
+    * whitespace are id-derived mess that [[extract]] provably removes.
+    * Planted lanes: `g % 11 = 3` → tag-soup pages failing the density
+    * gate; `g % 13 = 7` → near-empty pages failing the length gate;
+    * `g % 5 = 0` → pages carrying an email + phone for the scrub stage.
+    */
+  def rowOfWeb(id: Long): HtmlDoc = {
+    val g = Mix.bounded(0x5101L, id, 0, 1200).toLong
+    val sb = new StringBuilder("<html><head><title>")
+    sb.append(wg(g, 1)).append(' ').append(wg(g, 2)).append("</title>")
+    if (id % 3 == 0) sb.append(s"<script>var t = $id; go(t);</script>")
+    sb.append("</head><body>")
+    if (id % 4 == 0) sb.append("  ") // folds away under whitespace collapse
+    val nLinks = Mix.bounded(0x5102L, g, 1, 4)
+    var i = 0
+    while (i < nLinks) {
+      sb.append(s"""<a href="/u/${id % 53}">${wg(g, 10 + i)}</a> """)
+      i += 1
+    }
+    if (g % 11 == 3) {
+      var d = 0
+      while (d < 30) { sb.append("<div><span></span></div>"); d += 1 }
+      sb.append("<p>").append(wg(g, 90)).append("</p>")
+    } else if (g % 13 == 7) {
+      sb.append("<p>").append(wg(g, 91)).append("</p>")
+    } else {
+      val nPara = 2 + Mix.bounded(0x5103L, g, 2, 3)
+      var p = 0
+      while (p < nPara) {
+        sb.append("<p>")
+        val nw = 6 + Mix.bounded(0x5104L, g, 20 + p, 7)
+        var j = 0
+        while (j < nw) {
+          if (j > 0) sb.append(' ')
+          sb.append(wg(g, 30 + 10 * p + j))
+          j += 1
+        }
+        sb.append("</p>")
+        p += 1
+      }
+      if (g % 5 == 0)
+        sb.append(s"<p>contact user$g@ex${g % 7}mail.com or call " +
+          f"555-${g % 900 + 100}%03d-${g % 9000 + 1000}%04d</p>")
+    }
+    sb.append("</body></html>")
+    HtmlDoc(id, sb.toString)
+  }
+
+  def genWebPages(spark: SparkSession, rows: Long, parts: Int): Dataset[HtmlDoc] = {
+    import spark.implicits._
+    spark.range(0, rows, 1, parts).as[Long].map(rowOfWeb)
+  }
+
+  /** The composed web-curation pipeline — extract → density/length gates →
+    * PII scrub → exact dedup (first id wins) — each stage the already-
+    * oracled operator, chained the way a crawl ingest actually runs them.
+    * Returns the survivors: `(doc_id, n_pii, clean_len, clean_hash)`.
+    *
+    * Scale shape: extract + gates + scrub are one fully narrow pass; the
+    * only shuffles are the dedup hash aggregate and its id-keyed winner
+    * join. Gates run BEFORE scrub so dropped pages never pay the regex
+    * chain.
+    */
+  def webPipeline(pages: DataFrame,
+                  minTextPpm: Int = 100000, minLen: Int = 40): DataFrame = {
+    val gated = extract(pages, col("html"), col("doc_id"))
+      .filter(col("text_ppm") >= minTextPpm && col("text_len") >= minLen)
+    val scrubbed = Pii.scrub(gated, col("text"), col("doc_id"))
+      .withColumn("ph", Hashing.h15(col("scrubbed")))
+    val winners = scrubbed.groupBy(col("ph"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("ph").as("wph"), col("keep_id"))
+    scrubbed.join(winners,
+        col("ph") === col("wph") && col("doc_id") === col("keep_id"))
+      .select(col("doc_id"),
+        (col("n_email") + col("n_ip") + col("n_ssn") + col("n_phone"))
+          .cast("long").as("n_pii"),
+        length(col("scrubbed")).cast("long").as("clean_len"),
+        col("ph").as("clean_hash"))
+  }
 }

@@ -76,6 +76,43 @@ class HtmlSpec extends SparkSpec {
     assert((0L until 97L).count(v => got(v)._1 > 1000000L) > 80)
   }
 
+  test("web pipeline: gates, scrub, and dedup hit exactly the planted lanes") {
+    import spark.implicits._
+    val pages = Html.genWebPages(spark, rows = 4000, parts = 8).toDF()
+    val out = Html.webPipeline(pages)
+      .select("doc_id", "n_pii", "clean_hash")
+      .as[(Long, Long, Long)].collect()
+    // replicate extract + the per-doc gates exactly (lane membership alone
+    // is not enough: a "short lane" page whose title+anchor text reaches
+    // the 40-char floor legitimately passes)
+    def textOf(html: String): String =
+      html.replaceAll("<script[^>]*>[^<]*</script>", " ")
+        .replaceAll("<[^>]*>", " ").replaceAll("  +", " ").trim
+    val docs = (0L until 4000L).map { id =>
+      val html = Html.rowOfWeb(id).html
+      val t = textOf(html)
+      val passes = t.length >= 40 &&
+        t.length.toLong * 1000000L / math.max(html.length, 1) >= 100000L
+      (id, t, passes)
+    }
+    // dedup folds each surviving TEXT class to its min passing id
+    val expect = docs.filter(_._3).groupBy(_._2).map { case (t, ms) =>
+      ms.map(_._1).min -> t
+    }
+    assert(out.map(_._1).toSet == expect.keySet,
+      s"survivors ${out.length} vs expected ${expect.size}")
+    // PII counts: exactly one email + one phone on the planted pages
+    out.foreach { case (id, nPii, _) =>
+      val expected = if (expect(id).contains("@")) 2L else 0L
+      assert(nPii == expected, s"doc $id pii=$nPii expected=$expected")
+    }
+    // one output row per distinct surviving text
+    assert(out.map(_._3).distinct.length == expect.size)
+    // the planted lanes do real work: gates dropped pages AND dedup folded
+    assert(docs.count(!_._3) > 300, "density/length gates never fired")
+    assert(docs.count(_._3) > expect.size + 1000, "dedup never folded")
+  }
+
   test("generator is parallelism-invariant; extract is idempotent on clean text") {
     val a = Html.genHtmlDocs(spark, rows = 300, parts = 1).toDF()
     val b = Html.genHtmlDocs(spark, rows = 300, parts = 5).toDF()
