@@ -209,6 +209,15 @@ object DataOpsQueries {
         vocabSize = 20)
     }),
 
+    // ---- language-ID confusion matrix (predicted vs labeled counts —
+    //      the accuracy audit a lang-gated pipeline publishes) ----
+    "t_lang_confusion" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- soft quality sampling (classifier-score-weighted keep rate,
     //      hash-decided — the GPT-3 appendix rule, replay-stable) ----
     "t_quality_sample" -> ((s, dir) => {
@@ -372,6 +381,14 @@ object DataOpsQueries {
       top.crossJoin(broadcast(sk))
         .select(col("t"), col("true_n"),
           graft.sketch.CountMin.estimate(col("sk"), col("t"), 4).as("est_n"))
+    }),
+
+    // ---- PMI top collocations (adjacent-pair mutual information in
+    //      integer micronats — the tokenizer-merge / MWE audit) ----
+    "p_pmi_pairs" -> ((s, _) => {
+      graft.tokens.TokenOps.pmiTopPairs(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        k = 40, minCount = 5L)
     }),
 
     // ---- vocabulary pruning / UNK remap (fully-ordered top-V cut; narrow
@@ -689,6 +706,21 @@ object DataOpsQueries {
       s"""SELECT doc_id, lang, (CASE $pick ELSE 'und' END) AS pred_lang
          |FROM (SELECT doc_id, lang, $hits
          |      FROM (SELECT doc_id, lang, string_split(text,' ') AS tk FROM documents))""".stripMargin
+    },
+
+    // confusion twin: the langid CTE re-aggregated per (label, prediction).
+    "t_lang_confusion" -> {
+      val hits = TextOps.StopwordProfiles.map { case (lang, prof) =>
+        s"len(list_filter(tk, t -> t IN ${duckIn(prof)})) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.StopwordProfiles.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val pick = langs.map(l => s"WHEN h_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""SELECT lang, pred_lang, count(*)::BIGINT AS n FROM (
+         |  SELECT lang, (CASE $pick ELSE 'und' END) AS pred_lang
+         |  FROM (SELECT lang, $hits
+         |        FROM (SELECT lang, string_split(text,' ') AS tk FROM documents)))
+         |GROUP BY lang, pred_lang""".stripMargin
     },
 
     "t_text_fingerprint" ->
@@ -1040,6 +1072,27 @@ object DataOpsQueries {
          |  CAST(min(cells.c) AS BIGINT) AS est_n
          |FROM cand JOIN cells USING (j, pos)
          |GROUP BY cand.t, cand.n""".stripMargin,
+
+    // PMI twin: same counts, same fixed-order double expression, same
+    // +1e-9 micronat rounding as the LM/NB oracles.
+    "p_pmi_pairs" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |p AS (SELECT tokens[i] AS a, tokens[i+1] AS b
+         |      FROM d, unnest(generate_series(1, len(tokens)-1)) AS t(i)),
+         |pc AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM p GROUP BY a, b
+         |       HAVING count(*) >= 5),
+         |u AS (SELECT t, count(*)::BIGINT AS n_t
+         |      FROM (SELECT unnest(tokens) AS t FROM d) GROUP BY t),
+         |tots AS (SELECT (SELECT CAST(sum(n_t) AS DOUBLE) FROM u) AS tot_t,
+         |                (SELECT CAST(sum(n_ab) AS DOUBLE) FROM pc) AS tot_p),
+         |s AS (SELECT pc.a, pc.b, pc.n_ab,
+         |        CAST(round((ln(CAST(pc.n_ab AS DOUBLE)) - ln(CAST(ua.n_t AS DOUBLE))
+         |          - ln(CAST(ub.n_t AS DOUBLE)) + ln(tot_t) + ln(tot_t)
+         |          - ln(tot_p)) * 1000000 + 1e-9, 0) AS BIGINT) AS pmi_micronats
+         |      FROM pc JOIN u ua ON pc.a = ua.t JOIN u ub ON pc.b = ub.t, tots)
+         |SELECT a, b, n_ab, pmi_micronats,
+         |  CAST(row_number() OVER (ORDER BY pmi_micronats DESC, a, b) AS BIGINT) AS rank
+         |FROM s QUALIFY rank <= 40""".stripMargin,
 
     // vocab-prune twin: identical fully-ordered top-V cut; remap + count
     // via list ops against the derived vocab list (unk = 50257, V = 32).

@@ -368,6 +368,49 @@ object TokenOps {
           .orderBy(col("n").desc, col("a"), col("b"))).cast("long"))
   }
 
+  /** Top-k collocations by pointwise mutual information over ADJACENT
+    * token pairs — the statistical layer on top of [[bpePairCounts]]'s raw
+    * counting (raw frequency surfaces `the+of`; PMI surfaces pairs that
+    * co-occur far above chance — multi-word expressions, the
+    * tokenizer-merge audit). `pmi = ln(p(ab)/(p(a)·p(b)))` in integer
+    * MICRONATS with the repo's fixed IEEE op order (identical expression
+    * shape in the DuckDB twin), `minCount` guards the rare-pair PMI bias.
+    *
+    * Scale shape: the pair and unigram counts are map-side-combinable hash
+    * aggregates off narrow slices; both totals are scalar broadcasts; the
+    * unigram side is vocab-bounded and joins a-keyed then b-keyed
+    * (AQE-broadcast at real vocab sizes); top-k is
+    * `TakeOrderedAndProject`, never a global sort.
+    */
+  def pmiTopPairs(df: DataFrame, k: Int = 40, minCount: Long = 5L): DataFrame = {
+    require(k > 0 && minCount >= 1, "need k > 0 and minCount >= 1")
+    val m = greatest(size(col("tokens")) - 1, lit(0))
+    val pairs = df
+      .select(slice(col("tokens"), lit(1), m).as("hd"),
+        slice(col("tokens"), lit(2), m).as("tl"))
+      .select(explode(arrays_zip(col("hd"), col("tl"))).as("p"))
+      .select(col("p.hd").as("a"), col("p.tl").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = df.select(explode(col("tokens")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val totals = uni.agg(sum(col("n_t")).cast("double").as("tot_t"))
+      .crossJoin(pairs.agg(sum(col("n_ab")).cast("double").as("tot_p")))
+    val scored = pairs
+      .join(uni.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        round((log(col("n_ab").cast("double")) - log(col("n_a").cast("double"))
+          - log(col("n_b").cast("double")) + log(col("tot_t")) + log(col("tot_t"))
+          - log(col("tot_p"))) * 1e6 + lit(1e-9), 0)
+          .cast("long").as("pmi_micronats"))
+    val top = scored.orderBy(col("pmi_micronats").desc, col("a"), col("b")).limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi_micronats").desc, col("a"), col("b"))).cast("long"))
+  }
+
   /** Apply one BPE merge to every token array: greedy left-to-right,
     * non-overlapping replacement of `(a, b)` with `newId` — the per-row
     * native [[graft.functions.BpeMerge]] expression (narrow, codegen'd,

@@ -382,6 +382,15 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(repart.toSeq == k10.toSeq)
   }
 
+  test("pmi: an always-co-occurring pair survives minCount and tops the rank") {
+    // 9001 is always followed by 9002; surrounding tokens are unique per
+    // doc, so every other adjacent pair falls under minCount
+    val docs = (1 to 8).map(i => (s"d$i", Seq(100 + i, 9001, 9002, 200 + i), "web"))
+    val out = TokenOps.pmiTopPairs(tokDf(docs: _*), k = 5, minCount = 5)
+      .select("a", "b", "n_ab", "rank").as[(Int, Int, Long, Long)].collect()
+    assert(out.toSeq == Seq((9001, 9002, 8L, 1L)))
+  }
+
   test("snapshot diff: exact added/removed/changed lanes on the slid window") {
     val oldDf = Winnow.genWithBoilerplate(spark, rows = 3000, parts = 8).toDF()
     val newDf = Winnow.genSnapshotNew(spark, rows = 3000, parts = 8)
