@@ -756,7 +756,7 @@ object DataOpsQueries {
          |  (${dH15("concat('qs|', doc_id)")} % 1000000) < keep_ppm AS kept
          |FROM (SELECT doc_id,
          |        greatest(least(500000 +
-         |          ((logodds_micronats + 4000000000000) // 1000 - 4000000000),
+         |          ((logodds_micronats + 4000000000000000) // 1000 - 4000000000000),
          |          1000000), 10000) AS keep_ppm
          |      FROM qc)""".stripMargin,
 
@@ -1228,7 +1228,7 @@ object DataOpsQueries {
          |                  unnest(generate_series(1, len(gh))) AS pos
          |                FROM g)),
          |w AS (SELECT ghash,
-         |        min(doc_id || '|' || lpad(pos::VARCHAR, 6, '0')) AS wkey,
+         |        min(doc_id || '|' || lpad(pos::VARCHAR, 9, '0')) AS wkey,
          |        count(*) AS n
          |      FROM sites GROUP BY ghash),
          |cov AS (SELECT doc_id, list_distinct(list(cp)) AS cps
@@ -1236,7 +1236,7 @@ object DataOpsQueries {
          |                unnest(generate_series(s.pos, s.pos + ${k - 1})) AS cp
          |              FROM sites s JOIN w ON s.ghash = w.ghash
          |              WHERE w.n >= 2
-         |                AND s.doc_id || '|' || lpad(s.pos::VARCHAR, 6, '0') <> w.wkey)
+         |                AND s.doc_id || '|' || lpad(s.pos::VARCHAR, 9, '0') <> w.wkey)
          |        GROUP BY doc_id)
          |SELECT d.doc_id, d.source, CAST(d.n_tok AS BIGINT) AS n_before,
          |  CAST(len(cps) AS BIGINT) AS n_removed,

@@ -171,13 +171,30 @@ case class CountMinEstimate(left: Expression, right: Expression, depth: Int)
         s"count_min_estimate needs (binary sketch, bigint key), got ($l, $r)")
     }
 
-  override def nullSafeEval(sketch: Any, x: Any): Any =
-    CountMin.estimateJvm(sketch.asInstanceOf[Array[Byte]],
-      x.asInstanceOf[Long], depth)
+  override def nullable: Boolean = true
+
+  /** A sketch too short for `depth` rows (or a ragged length) is malformed
+    * input → NULL, the repo decoder contract — never a division-by-zero
+    * task crash in [[CountMin.estimateJvm]].
+    */
+  private def wellFormed(sketch: Array[Byte]): Boolean =
+    sketch.length >= depth * 8 && sketch.length % (depth * 8) == 0
+
+  override def nullSafeEval(sketch: Any, x: Any): Any = {
+    val s = sketch.asInstanceOf[Array[Byte]]
+    if (!wellFormed(s)) null
+    else CountMin.estimateJvm(s, x.asInstanceOf[Long], depth)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (s, x) => s"graft.sketch.CountMin.estimateJvm($s, $x, $depth)")
+    nullSafeCodeGen(ctx, ev, (s, x) => {
+      s"""if ($s.length < ${depth * 8} || $s.length % ${depth * 8} != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.sketch.CountMin.estimateJvm($s, $x, $depth);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinEstimate =
     copy(left = l, right = r)

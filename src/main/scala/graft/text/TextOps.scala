@@ -115,7 +115,7 @@ object TextOps {
       .select(col("doc_id"),
         greatest(least(
           lit(500000L) +
-            expr("(logodds_micronats + 4000000000000) DIV 1000 - 4000000000"),
+            expr("(logodds_micronats + 4000000000000000) DIV 1000 - 4000000000000"),
           lit(1000000L)), lit(10000L)).as("keep_ppm"))
       .withColumn("kept",
         pmod(Hashing.h15(concat(lit("qs|"), col("doc_id"))), lit(1000000L))

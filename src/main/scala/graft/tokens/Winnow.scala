@@ -201,8 +201,11 @@ object Winnow {
   def removeDuplicateRuns(df: DataFrame, k: Int = K,
                           checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    // 9-digit pad: Spark lpad TRUNCATES strings longer than the pad width,
+    // so a 6-digit pad would silently corrupt winner keys on documents
+    // with >= 10^6 gram positions; 10^9 positions/doc is out of scope.
     val skey = concat(col("doc_id"), lit("|"),
-      lpad(col("pos").cast("string"), 6, "0"))
+      lpad(col("pos").cast("string"), 9, "0"))
     val raw = df.filter(col("n_tok") >= k)
       .select(col("doc_id"),
         posexplode(gramHashes(col("tokens"), k)).as(Seq("p0", "gh")))

@@ -61,6 +61,18 @@ class CountMinSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bytes(2), bytes(16)))
   }
 
+  test("malformed sketch (short or ragged length) estimates to NULL, never crashes") {
+    val bad = Seq(
+      (1L, Array[Byte](1, 2, 3)),                        // shorter than depth*8
+      (2L, new Array[Byte](Depth * 8 + 4)),              // ragged
+      (3L, new Array[Byte](Depth * Width * 8)))          // well-formed
+      .toDF("id", "sk")
+    val out = bad.select(col("id"),
+        CountMin.estimate(col("sk"), col("id"), Depth).as("e"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && !out(3L))
+  }
+
   test("column estimate expression agrees with the JVM helper") {
     val keys = (1L to 200L) ++ (1L to 50L)
     val skDf = keysDf(keys)
