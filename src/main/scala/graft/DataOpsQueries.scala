@@ -581,6 +581,16 @@ object DataOpsQueries {
         col("vec_id"), col("embedding"), k = 5, nBits = 8)
     }),
 
+    // ---- PQ ANN (compressed-domain scale path: corpus becomes m codeword
+    //      ids per vector — the embedding matrix is dropped after encode;
+    //      codebooks are deterministic hash-seeded, so the DuckDB twin
+    //      reproduces codes and ADC distances bit-for-bit) ----
+    "d_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), k = 5, m = 4, ksub = 16)
+    }),
+
     // ---- end-to-end curation pipeline: quality filter → lang-ID →
     //      exact dedup → per-(pred_lang, source) corpus stats ----
     "d_curation_pipeline" -> ((s, dir) => {
@@ -1525,6 +1535,42 @@ object DataOpsQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |            ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+
+    // PQ ANN twin: codebooks = the 16 hash-seeded vectors cut into 4
+    // 16-dim subspaces; codes = per-subspace L2² argmin (element-order
+    // double fold, ties by codeword id); ADC = the fold of (q − decoded)²
+    // over the global dim order — bit-identical to PqAdc's s-major/i-minor
+    // accumulator.
+    "d_ann_pq" -> {
+      val d2 = dFoldSum("list_transform(generate_series(1,16), " +
+        "i -> (e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]) * " +
+        "(e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]))")
+      val adc = dFoldSum("list_transform(generate_series(1,64), " +
+        "i -> (q_v[i]::DOUBLE - r[i]) * (q_v[i]::DOUBLE - r[i]))")
+      s"""WITH seeds AS (
+         |  SELECT embedding AS sv, CAST(row_number() OVER (
+         |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS j
+         |  FROM embeddings QUALIFY j < 16),
+         |cb AS (SELECT g.s, sd.j,
+         |         list_transform(generate_series(1, 16),
+         |           i -> sd.sv[g.s*16 + i]::DOUBLE) AS cw
+         |       FROM seeds sd CROSS JOIN
+         |         (SELECT unnest(generate_series(0, 3)) AS s) g),
+         |d AS (SELECT e.vec_id, c.s, c.j, c.cw, $d2 AS d2
+         |      FROM embeddings e CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, s, cw FROM d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1),
+         |rv AS (SELECT vec_id AS nbr_id, flatten(list(cw ORDER BY s)) AS r
+         |       FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_v
+         |      FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, nbr_id, $adc AS ad2
+         |           FROM q, rv WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, round(ad2, 6) AS ad2, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY ad2, nbr_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
 
     // Media stats twin over the Verify-materialized generator output.
     "m_media_stats" ->

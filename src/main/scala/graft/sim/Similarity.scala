@@ -397,4 +397,58 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Deterministic PQ codebooks: the [[hashSeedCentroids]] seed vectors cut
+    * into `m` contiguous subspaces — codeword j of subspace s is dims
+    * [s·dsub, (s+1)·dsub) of seed j. Single-pass, SQL-reproducible (the
+    * k-means refinement of a production PQ trainer changes recall, not the
+    * operator contract — same design decision as [[ivfTopKSeeded]]).
+    */
+  def pqCodebooks(corpus: DataFrame, id: Column, vec: Column,
+                  m: Int, ksub: Int): Seq[Seq[Array[Float]]] = {
+    val c = corpus.select(id.as("_id"), vec.as("_v"))
+    val seeds = hashSeedCentroids(c, "_id", "_v", ksub)
+    require(seeds.nonEmpty, "empty corpus")
+    val dim = seeds.head.length
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Product-quantization ANN (Jégou et al., PAMI 2011): encode every
+    * corpus vector to `m` codeword ids (16× smaller at the default
+    * geometry), DROP the vectors, and answer queries by asymmetric
+    * distance computation against the codes alone — the compressed-domain
+    * scan that makes exhaustive ANN affordable when the raw embedding
+    * matrix no longer fits the cluster (100 TB of 1k-dim floats → ~6 TB of
+    * codes). Returns per query the k nearest corpus ids by ADC L2², ties
+    * by id; recall vs [[bruteForceTopK]] is the spec's measured contract.
+    *
+    * Scale shape (10^12 rows): codebooks are a model-sized deterministic
+    * seed collect ([[pqCodebooks]]); encode is ONE narrow codegen'd
+    * [[PqEncode]] per row — after it the corpus side is `(id, m ints)`,
+    * so the persisted/shuffled footprint is codes, never vectors; queries
+    * broadcast; scoring is a narrow codegen'd [[PqAdc]] loop (m·dsub flops
+    * against plan-shipped codebooks); per-query top-k is the one shuffle,
+    * and the `row_number ≤ k` plants a map-side WindowGroupLimit so each
+    * task forwards at most k rows per query.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+             k: Int, m: Int = 4, ksub: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.graft.Bridge
+    val cbs = pqCodebooks(corpus, id, vec, m, ksub)
+    val coded = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
+      .withColumn("codes",
+        Bridge.column(PqEncode(Bridge.expression(col("nbr_v")), cbs)))
+      .select("nbr_id", "codes") // vectors end here — ADC needs codes only
+    val q = queries.select(id.as("query_id"), vec.as("q_v"))
+    val scored = coded.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("ad2", Bridge.column(PqAdc(
+        Bridge.expression(col("q_v")), Bridge.expression(col("codes")), cbs)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("ad2"), 6).as("ad2"), col("rank"))
+  }
 }

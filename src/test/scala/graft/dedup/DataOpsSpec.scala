@@ -373,6 +373,73 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("PQ ANN: codes in range, independent recompute, seeds self-encode to zero ADC") {
+    import org.apache.spark.sql.graft.Bridge
+    val df = vecs(100).cache()
+    val m = 4; val ksub = 16; val dsub = 4
+    val cbs = Similarity.pqCodebooks(df, col("vec_id"), col("embedding"), m, ksub)
+    assert(cbs.size == m && cbs.forall(cb => cb.size == ksub && cb.forall(_.length == dsub)))
+    val coded = df
+      .withColumn("codes", Bridge.column(
+        graft.sim.PqEncode(Bridge.expression(col("embedding")), cbs)))
+      .withColumn("ad2", Bridge.column(graft.sim.PqAdc(
+        Bridge.expression(col("embedding")), Bridge.expression(col("codes")), cbs)))
+      .select("vec_id", "embedding", "codes", "ad2")
+      .as[(Long, Array[Float], Array[Int], Double)].collect()
+    assert(coded.forall(_._3.length == m))
+    assert(coded.forall(_._3.forall(c => c >= 0 && c < ksub)))
+    // independent in-memory recompute of every code and every ADC distance
+    coded.foreach { case (id, v, codes, ad2) =>
+      var acc = 0.0 // ONE global accumulator, s-major/i-minor — PqAdc's
+      (0 until m).foreach { s =>
+        val d2s = (0 until ksub).map { j =>
+          j -> (0 until dsub).map { i =>
+            val d = v(s * dsub + i).toDouble - cbs(s)(j)(i).toDouble; d * d
+          }.foldLeft(0.0)(_ + _)
+        }
+        val want = d2s.minBy { case (j, d) => (d, j) }._1
+        assert(codes(s) == want, s"vec $id sub $s: got ${codes(s)}, want $want")
+        (0 until dsub).foreach { i =>
+          val d = v(s * dsub + i).toDouble - cbs(s)(codes(s))(i).toDouble
+          acc += d * d
+        }
+      }
+      assert(acc == ad2, s"vec $id: adc $ad2 != recomputed $acc")
+    }
+    // the ksub hash-seeded codebook source vectors quantize to themselves:
+    // zero quantization error in every subspace -> ADC exactly 0
+    assert(coded.count(_._4 == 0.0) >= ksub)
+    assert(coded.map(_._4).min == 0.0)
+  }
+
+  test("PQ ANN: malformed codes (wrong length, out-of-range id) -> NULL, never a crash") {
+    import org.apache.spark.sql.graft.Bridge
+    val df = vecs(20)
+    val cbs = Similarity.pqCodebooks(df, col("vec_id"), col("embedding"), 4, 16)
+    val bad = Seq(
+      (1L, Array.fill(16)(0.5f), Array(0, 1, 2)),        // wrong length
+      (2L, Array.fill(16)(0.5f), Array(0, 1, 2, 16)),    // code >= ksub
+      (3L, Array.fill(16)(0.5f), Array(0, 1, -1, 3)),    // negative code
+      (4L, Array.fill(16)(0.5f), Array(0, 1, 2, 3)))     // well-formed
+      .toDF("id", "v", "codes")
+    val out = bad.select(col("id"), Bridge.column(graft.sim.PqAdc(
+        Bridge.expression(col("v")), Bridge.expression(col("codes")), cbs)).as("ad2"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && out(3L) && !out(4L))
+  }
+
+  test("PQ ANN: recall vs brute force (compressed-domain scan)") {
+    val df = vecs(300).cache()
+    val q = df.filter(col("vec_id") < 20)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, q, col("vec_id"), col("embedding"), k = 5))
+    val pq = pairs(Similarity.pqTopK(df, q, col("vec_id"), col("embedding"),
+      k = 5, m = 4, ksub = 16))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // floor measured on the hash generator
+  }
+
   private def checkSemDedup(n: Int, tau: Double, nlist: Int): Unit = {
     val dim = 16
     val df = vecs(n, dim)

@@ -259,6 +259,28 @@ class PlanSpec extends SparkSpec {
     assert(!pu.contains("Exchange"), s"url canon shuffles:\n$pu")
   }
 
+  test("pq ann: narrow native encode/adc, queries broadcast, map-side group limit") {
+    import spark.implicits._
+    // parquet-backed corpus: over a LocalRelation Catalyst constant-folds
+    // pq_encode at plan time and the pin can't see the encode stage
+    val vdir = Files.createTempDirectory("planspec-pq").toString + "/vecs"
+    (0L until 100L).map(i => (i, Array.tabulate(16)(j =>
+      ((graft.core.Mix.mix64(i * 131L + j) % 1000L) / 1000.0f))))
+      .toDF("vec_id", "embedding").write.parquet(vdir)
+    val vecs = spark.read.parquet(vdir)
+    val p = plan(graft.sim.Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 5),
+      col("vec_id"), col("embedding"), k = 3, m = 4, ksub = 8))
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"native PQ expressions missing:\n$p")
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+    // the corpus exchange to the per-query window carries codes, not
+    // vectors: nbr_v is projected away before the only shuffle
+    val afterExchange = p.substring(p.indexOf("Exchange"))
+    assert(!afterExchange.contains("nbr_v"),
+      s"corpus vectors crossed the shuffle:\n$p")
+  }
+
   test("duplicate-run removal: no cartesian; winner aggregate combines map-side") {
     val d = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 200, parts = 4).toDF()
     val p = plan(graft.tokens.Winnow.removeDuplicateRuns(d))
