@@ -250,6 +250,14 @@ object DataOpsQueries {
       TextOps.tfidfTopK(Tables.documents(s, dir), col("text"), col("doc_id"), k = 3)
     }),
 
+    // ---- BM25 retrieval top-k (Okapi lexical ranker; query terms prune
+    //      the tf table BEFORE df aggregates — query-vocab-sized model) ----
+    "t_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.bm25TopK(docs, col("text"), col("doc_id"),
+        docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), k = 10)
+    }),
+
     // ---- deterministic exact-n per-source sample (hash-order top-n,
     //      map-side WindowGroupLimit) ----
     "p_stratified_sample" -> ((s, dir) => {
@@ -782,6 +790,35 @@ object DataOpsQueries {
         |SELECT doc_id, w, tf, score, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // BM25 twin: the identical fixed-order score expression (same ln /
+    // divide / multiply text; k1=1.2, k1+1 as the literal 2.2, 1-b as the
+    // exact 0.25), micro-quantized then integer-summed per (query, doc).
+    "t_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, text,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w FROM d),
+        |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf, max(dl) AS dl
+        |       FROM tok GROUP BY doc_id, w),
+        |qt AS (SELECT DISTINCT query_id, w FROM (
+        |         SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS w
+        |         FROM documents WHERE doc_id < 5)),
+        |tfq AS (SELECT * FROM tf WHERE w IN (SELECT w FROM qt)),
+        |dfx AS (SELECT w, count(*)::BIGINT AS df FROM tfq GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |scored AS (SELECT q.query_id, tfq.doc_id,
+        |  CAST(round((ln(n_docs + 1.0) - ln(CAST(df AS DOUBLE) + 1.0)) *
+        |    ((CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tfq.dl AS DOUBLE) / avgdl))) *
+        |    1000000.0 + 1e-9, 0) AS BIGINT) AS s_micro
+        |  FROM tfq JOIN dfx USING (w) JOIN qt q USING (w), tot),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score
+        |        FROM scored GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg)
+        |WHERE rank <= 10""".stripMargin,
 
     "p_stratified_sample" ->
       s"""SELECT doc_id, source, sample_rank FROM (

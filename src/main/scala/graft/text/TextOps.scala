@@ -228,6 +228,64 @@ object TextOps {
       .select("doc_id", "w", "tf", "score", "rank")
   }
 
+  /** BM25 retrieval top-k (Robertson/Spärck Jones; the Okapi weighting):
+    * for each query, the `k` highest-scoring corpus documents under
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` — the
+    * classic lexical ranker (and the retrieval side of a contamination /
+    * near-source audit: "which corpus docs answer this benchmark
+    * question"). Query term frequency is 1 (terms deduped) — the standard
+    * short-query simplification.
+    *
+    * Cross-engine determinism: the per-(term, doc) score is ONE fixed-order
+    * double expression (the same `ln`/divide/multiply text in both
+    * engines) quantized to integer micro-units with the repo's `+1e-9`
+    * half-way nudge, so the per-(query, doc) reduction is an
+    * order-independent integer sum. `k1`/`b` must be given as exact
+    * literals on both sides (no k1+1 re-derivation — 1.2+1.0 and the
+    * literal 2.2 are different doubles).
+    *
+    * Scale shape (10^12 rows): the corpus tf aggregate is map-side
+    * combinable; the distinct query-term set broadcasts and prunes the tf
+    * table BEFORE df is counted (df aggregates only query terms, never the
+    * corpus vocabulary); totals are an explicit 1-row broadcast; per-query
+    * top-k is a `row_number ≤ k` that plants a map-side WindowGroupLimit.
+    */
+  def bm25TopK(docs: DataFrame, text: Column, id: Column,
+               queries: DataFrame, qid: Column, qtext: Column,
+               k: Int = 10, k1: Double = 1.2, k1p1: Double = 2.2,
+               b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = docs.select(id.as("doc_id"), text.as("t"))
+      .withColumn("dl", wordCount(col("t")).cast("long"))
+    val tok = d.select(col("doc_id"), col("dl"), explode(words(col("t"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
+    val qterms = queries
+      .select(qid.as("query_id"), explode(words(qtext)).as("w")).distinct()
+    // prune to query terms FIRST: df then counts docs-per-term over the
+    // full corpus but aggregates only the query vocabulary
+    val tfq = tf.join(broadcast(qterms.select("w").distinct()), Seq("w"))
+    val dfx = tfq.groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+    val totals = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val micro = round(
+      (log(col("n_docs") + 1.0) - log(col("df").cast("double") + 1.0)) *
+        ((col("tf").cast("double") * lit(k1p1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))) *
+        1e6 + 1e-9, 0).cast("long")
+    val scored = tfq.join(dfx, "w").crossJoin(broadcast(totals))
+      .join(broadcast(qterms), Seq("w"))
+      .withColumn("s_micro", micro)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("s_micro").as("score"))
+    val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
   /** GPT-3/CCNet-style naive-Bayes quality classifier, self-trained: the
     * Gopher-rule gates ([[qualityKeep]]) label a seed split (positive =
     * passes the gates), an add-1-smoothed unigram NB model is trained on

@@ -373,6 +373,44 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("BM25 top-k: independent recompute, no-term docs absent, exact-copy self-rank 1") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian durian durian"),
+      (3L, "elderberry fig grape"),          // shares no term with query 1
+      (4L, "apple banana apple cherry"),     // exact copy of doc 1
+      (5L, "apple")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple banana apple cherry")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, col("text"), col("doc_id"),
+        queries, col("doc_id"), col("text"), k = 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    // doc 3 shares no query term -> never retrieved
+    assert(!out.exists(_._2 == 3L))
+    // independent in-memory recompute of every score
+    val corpus = Seq(1L -> "apple banana apple cherry",
+      2L -> "banana banana durian durian durian", 3L -> "elderberry fig grape",
+      4L -> "apple banana apple cherry", 5L -> "apple")
+    val dls = corpus.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / dls.size
+    val nDocs = dls.size.toDouble
+    val qws = "apple banana apple cherry".split(" ", -1).distinct
+    val dfm = qws.map(w => w -> corpus.count(_._2.split(" ", -1).contains(w)).toLong).toMap
+    val want = corpus.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      id -> qws.filter(toks.contains).map { w =>
+        val tf = toks.count(_ == w).toDouble
+        val s = (math.log(nDocs + 1.0) - math.log(dfm(w).toDouble + 1.0)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls(id).toDouble / avgdl)))
+        math.round(s * 1e6 + 1e-9)
+      }.sum
+    }.filter(_._2 != 0L).toMap
+    out.foreach { case (_, d, s, _) => assert(s == want(d), s"doc $d: $s != ${want(d)}") }
+    // exact copies of the query text tie at the top; smaller id ranks first
+    assert(out.take(2).map(_._2).toSeq == Seq(1L, 4L))
+    assert(out(0)._3 == out(1)._3)
+  }
+
   test("PQ ANN: codes in range, independent recompute, seeds self-encode to zero ADC") {
     import org.apache.spark.sql.graft.Bridge
     val df = vecs(100).cache()

@@ -259,6 +259,18 @@ class PlanSpec extends SparkSpec {
     assert(!pu.contains("Exchange"), s"url canon shuffles:\n$pu")
   }
 
+  test("bm25: query terms broadcast, map-side group limit, partial tf aggregate") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, s"word${i % 11} word${i % 7} word${i % 5} tail$i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.text.TextOps.bm25TopK(d, col("text"), col("doc_id"),
+      d.filter(col("doc_id") < 3), col("doc_id"), col("text"), k = 5))
+    assert(p.contains("BroadcastHashJoin"), s"query-term prune not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no per-query group limit:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"tf aggregate not map-side combined:\n$p")
+  }
+
   test("pq ann: narrow native encode/adc, queries broadcast, map-side group limit") {
     import spark.implicits._
     // parquet-backed corpus: over a LocalRelation Catalyst constant-folds
