@@ -307,6 +307,15 @@ object DataOpsQueries {
         newId = 50257)
     }),
 
+    // ---- full BPE vocab induction: 3 merge rounds — count → argmax →
+    //      apply, later rounds composing earlier merge ids; output is the
+    //      trained merge table + per-round compression trace ----
+    "p_bpe_train" -> ((s, _) => {
+      graft.tokens.TokenOps.trainBpe(
+        graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
+        iters = 3, baseId = 50257)
+    }),
+
     // ---- SemDeDup: embedding-cluster-bounded semantic dedup (deterministic
     //      seeded cells; in-cell pairs only — never corpus-wide) ----
     "d_semdedup" -> ((s, dir) => {
@@ -985,6 +994,37 @@ object DataOpsQueries {
          |  CAST(n_before AS BIGINT) AS n_before, CAST(len(merged) AS BIGINT) AS n_after,
          |  ${dH15("array_to_string(merged, ',')")} AS merged_hash
          |FROM m, top""".stripMargin,
+
+    // BPE training twin: the single-merge fold chained for 3 rounds — each
+    // round re-derives the argmax over the PREVIOUS round's merged corpus
+    // (so learned ids compose) and re-counts the corpus total after it.
+    "p_bpe_train" -> {
+      val iters = 3
+      val base = 50257
+      val ctes = (0 until iters).map { i =>
+        s"""c$i AS (SELECT a, b, count(*)::BIGINT AS n FROM (
+           |  SELECT tokens[i] AS a, tokens[i+1] AS b
+           |  FROM d$i, unnest(generate_series(1, len(tokens)-1)) AS g(i)) GROUP BY a, b),
+           |t$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+           |d${i + 1} AS (SELECT doc_id,
+           |  list_reduce(list_prepend(CAST([] AS INT[]), list_transform(tokens, t -> [t])),
+           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = t$i.a AND x[1] = t$i.b
+           |                THEN list_concat(acc[1:len(acc)-1], [CAST(${base + i} AS INT)])
+           |                ELSE list_concat(acc, x) END) AS tokens
+           |  FROM d$i, t$i),
+           |s${i + 1} AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS total FROM d${i + 1})"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = (0 until iters).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS it, t$i.a AS merge_a, t$i.b AS merge_b,
+           |  CAST(${base + i} AS INT) AS new_id, t$i.n AS n_pair,
+           |  s${i + 1}.total AS total_after FROM t$i, s${i + 1}""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d0 AS (SELECT doc_id, tokens
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |$ctes
+         |$rows""".stripMargin
+    },
 
     "d_semdedup" ->
       s"""WITH seeds AS (

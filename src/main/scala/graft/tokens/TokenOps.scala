@@ -437,6 +437,44 @@ object TokenOps {
       contentHash(merged).as("merged_hash"))
   }
 
+  /** Full BPE vocabulary induction (Sennrich et al., ACL 2016): `iters`
+    * merge rounds, each = count adjacent pairs → global argmax → apply the
+    * merge corpus-wide with the next fresh id. Returns the trained MERGE
+    * TABLE — `(it, merge_a, merge_b, new_id, n_pair, total_after)` per
+    * round, where `n_pair` is the winning pair's count at selection time
+    * and `total_after` is the corpus token total after applying it (the
+    * compression trace) — the artifact a tokenizer ships. Later rounds see
+    * earlier merge ids, so learned symbols compose (the defining BPE
+    * property; the spec pins it).
+    *
+    * Scale shape (10^12 rows): each round is ONE map-side-combinable pair
+    * count + a `TakeOrderedAndProject` argmax (1 driver row — model-sized)
+    * + a narrow codegen'd [[graft.functions.BpeMerge]] pass + one count
+    * aggregate; nothing row-scale ever reaches the driver. Lineage grows
+    * one narrow map per round, so every 8 rounds the corpus is
+    * local-checkpointed (reliable `checkpoint` on a real cluster — the
+    * [[graft.dedup.Dedupe.components]] contract) to keep plan depth and
+    * task re-execution bounded over production merge counts (~50k rounds
+    * run this same loop; the per-round cost is the two aggregates).
+    */
+  def trainBpe(df: DataFrame, iters: Int, baseId: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    var cur = df.select(col("doc_id"), col("tokens"))
+    val rounds = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int, Long, Long)]()
+    for (i <- 0 until iters) {
+      val top = bpePairCounts(cur, k = 1).select("a", "b", "n").head()
+      val (a, b, n) = (top.getInt(0), top.getInt(1), top.getLong(2))
+      val newId = baseId + i
+      cur = cur.select(col("doc_id"), bpeMerge(col("tokens"), a, b, newId).as("tokens"))
+      if ((i + 1) % 8 == 0) cur = cur.localCheckpoint(true)
+      val total = cur.agg(sum(size(col("tokens"))).cast("long")).head().getLong(0)
+      rounds += ((i.toLong, a, b, newId, n, total))
+    }
+    import spark.implicits._
+    rounds.toSeq.toDF("it", "merge_a", "merge_b", "new_id", "n_pair", "total_after")
+  }
+
   /** Vocabulary pruning / UNK remap: map every token outside the corpus
     * top-`vocabSize` vocabulary to `unkId` — the remediation step after an
     * [[graft.text.TextOps.oovRate]] audit flags a vocab budget, and the

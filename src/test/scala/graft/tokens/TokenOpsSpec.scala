@@ -370,6 +370,28 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(left == 0L)
   }
 
+  test("bpe training loop: merges compose (round 2 merges round 1's id), " +
+    "totals fall, first round == single-iteration op") {
+    // [7,7,7,7] x N: round 1 argmax = (7,7) -> Z giving [Z,Z]; round 2's
+    // only pair is (Z,Z) — a pair of LEARNED ids
+    val docs = (1L to 50L).map(i => (i, Array(7, 7, 7, 7)))
+      .toDF("doc_id", "tokens")
+    val m = TokenOps.trainBpe(docs, iters = 2, baseId = 100)
+      .select("it", "merge_a", "merge_b", "new_id", "n_pair", "total_after")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().sortBy(_._1)
+    // 3 (7,7) pairs/row pre-merge; greedy non-overlap merges 2/row
+    assert(m(0) == ((0L, 7, 7, 100, 150L, 100L)))
+    assert(m(1) == ((1L, 100, 100, 101, 50L, 50L))) // (Z,Z) -> 101
+    assert(m.map(_._6).toSeq == m.map(_._6).toSeq.sorted.reverse) // monotone compression
+    // round 1 of the loop agrees with the standalone single-iteration op
+    val gen = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 400, parts = 4).toDF()
+    val one = TokenOps.applyTopBpeMerge(gen, newId = 900)
+      .select("merge_a", "merge_b").as[(Int, Int)].head()
+    val loop = TokenOps.trainBpe(gen, iters = 1, baseId = 900)
+      .select("merge_a", "merge_b").as[(Int, Int)].head()
+    assert(one == loop)
+  }
+
   test("bpe pair counts: k truncation is a prefix; partitioning-invariant") {
     val big = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 500, parts = 8).toDF()
     val k10 = TokenOps.bpePairCounts(big, k = 10)
