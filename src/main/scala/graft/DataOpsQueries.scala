@@ -608,6 +608,16 @@ object DataOpsQueries {
         col("vec_id"), col("embedding"), k = 5, m = 4, ksub = 16)
     }),
 
+    // ---- IVF-PQ ANN (the composed Faiss-style scale architecture:
+    //      cell-pruned probe join + compressed-domain ADC; nlist = ksub =
+    //      16 pins both stages to the same deterministic seed set) ----
+    "d_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), k = 5, nlist = 16, nprobe = 4,
+        m = 4, ksub = 16)
+    }),
+
     // ---- end-to-end curation pipeline: quality filter → lang-ID →
     //      exact dedup → per-(pred_lang, source) corpus stats ----
     "d_curation_pipeline" -> ((s, dir) => {
@@ -1643,6 +1653,48 @@ object DataOpsQueries {
          |      FROM embeddings WHERE vec_id < 10),
          |scored AS (SELECT query_id, nbr_id, $adc AS ad2
          |           FROM q, rv WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, round(ad2, 6) AS ad2, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY ad2, nbr_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
+
+    // IVF-PQ twin: the d_ann_ivf cell CTEs composed with the d_ann_pq
+    // code/decode CTEs (one shared seed set at nlist = ksub = 16); a
+    // corpus vector lives in exactly one cell and probe cells are
+    // distinct per query, so (query, nbr) pairs are already unique.
+    "d_ann_ivfpq" -> {
+      val d2 = dFoldSum("list_transform(generate_series(1,16), " +
+        "i -> (e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]) * " +
+        "(e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]))")
+      val adc = dFoldSum("list_transform(generate_series(1,64), " +
+        "i -> (q_v[i]::DOUBLE - r[i]) * (q_v[i]::DOUBLE - r[i]))")
+      s"""WITH seeds AS (
+         |  SELECT embedding AS sv, CAST(row_number() OVER (
+         |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS j
+         |  FROM embeddings QUALIFY j < 16),
+         |cb AS (SELECT g.s, sd.j,
+         |         list_transform(generate_series(1, 16),
+         |           i -> sd.sv[g.s*16 + i]::DOUBLE) AS cw
+         |       FROM seeds sd CROSS JOIN
+         |         (SELECT unnest(generate_series(0, 3)) AS s) g),
+         |ac AS (SELECT e.vec_id AS nbr_id, e.embedding AS nbr_v, s.j AS cell,
+         |         ${duckCosRaw("e.embedding", "s.sv")} AS cos_c
+         |       FROM embeddings e CROSS JOIN seeds s),
+         |assigned AS (SELECT nbr_id, cell FROM ac
+         |  QUALIFY row_number() OVER (PARTITION BY nbr_id ORDER BY cos_c DESC, cell) = 1),
+         |probes AS (SELECT nbr_id AS query_id, nbr_v AS q_v, cell FROM ac WHERE nbr_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY nbr_id ORDER BY cos_c DESC, cell) <= 4),
+         |d AS (SELECT e.vec_id, c.s, c.j, c.cw, $d2 AS d2
+         |      FROM embeddings e CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, s, cw FROM d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1),
+         |rv AS (SELECT vec_id AS nbr_id, flatten(list(cw ORDER BY s)) AS r
+         |       FROM codes GROUP BY vec_id),
+         |scored AS (SELECT p.query_id, a.nbr_id, $adc AS ad2
+         |           FROM probes p JOIN assigned a USING (cell)
+         |             JOIN rv ON rv.nbr_id = a.nbr_id
+         |           WHERE p.query_id <> a.nbr_id)
          |SELECT query_id, nbr_id, round(ad2, 6) AS ad2, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |            ORDER BY ad2, nbr_id) AS INT) AS rank FROM scored)

@@ -451,4 +451,59 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"),
         round(col("ad2"), 6).as("ad2"), col("rank"))
   }
+
+  /** IVF-PQ ANN — the composed Faiss-style architecture for
+    * billion-to-trillion-row search: the IVF stage prunes the corpus to
+    * `nprobe` cells per query (cell-keyed join, never a corpus scan per
+    * query) and the PQ stage evaluates only codes inside those cells
+    * (m ints per row — the inverted lists hold codes, not vectors). Both
+    * stages reuse the oracled building blocks: [[NearestCell]] assignment
+    * over hash-seeded centroids (the [[ivfTopKSeeded]]/[[semDedup]] rule)
+    * and [[PqEncode]]/[[PqAdc]] over hash-seeded codebooks (the
+    * [[pqTopK]] rule). Codebooks are GLOBAL, not per-cell residual (Faiss
+    * IVFPQ encodes residuals by default; that trades recall, not the
+    * operator contract — documented simplification).
+    *
+    * Scale shape (10^12 rows): centroids + codebooks are two model-sized
+    * seed collects; assignment + encode are narrow codegen'd maps after
+    * which the corpus side is `(cell, id, codes)`; the probe join shuffles
+    * on cell id only; ADC is narrow; per-query top-k plants a map-side
+    * WindowGroupLimit.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+                k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 16): DataFrame = {
+    require(k > 0 && nprobe >= 1 && nprobe <= nlist, "need k > 0, 1 <= nprobe <= nlist")
+    import org.apache.spark.sql.graft.Bridge
+    val c = corpus.select(id.as("nbr_id"), vec.as("nbr_v"))
+    val cents = hashSeedCentroids(c, "nbr_id", "nbr_v", nlist)
+    val cbs = pqCodebooks(corpus, id, vec, m, ksub)
+    val coded = c
+      .withColumn("cell",
+        Bridge.column(NearestCell(Bridge.expression(col("nbr_v")), cents)))
+      .withColumn("codes",
+        Bridge.column(PqEncode(Bridge.expression(col("nbr_v")), cbs)))
+      .select("cell", "nbr_id", "codes") // inverted lists carry codes only
+
+    // per-query nprobe nearest cells — the ivfTopKSeeded literal-argmax
+    // (query side is small and broadcast; plan-literal centroids)
+    def cellCos(v: Column, j: Int): Column =
+      dot(v, lit(cents(j))) / (norm(v) * norm(lit(cents(j))))
+    val probeCells = {
+      val arr = array(cents.indices.map(j =>
+        struct(cellCos(col("q_v"), j).as("c"), lit(-j).as("nc"))): _*)
+      slice(reverse(array_sort(arr)), 1, nprobe)
+    }
+    val q = queries.select(id.as("query_id"), vec.as("q_v"))
+      .withColumn("cell", explode(transform(probeCells, s => -s.getField("nc"))))
+
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("ad2", Bridge.column(PqAdc(
+        Bridge.expression(col("q_v")), Bridge.expression(col("codes")), cbs)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("ad2"), 6).as("ad2"), col("rank"))
+  }
 }

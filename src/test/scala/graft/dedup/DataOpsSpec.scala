@@ -466,6 +466,28 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1L) && out(2L) && out(3L) && !out(4L))
   }
 
+  test("IVF-PQ ANN: full probe degenerates to the pure PQ scan; pruned probe keeps recall") {
+    val df = vecs(300).cache()
+    val q = df.filter(col("vec_id") < 20)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id", "ad2", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // probing every cell = the exact compressed-domain scan, bit for bit
+    val full = rows(Similarity.ivfPqTopK(df, q, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 8, m = 4, ksub = 16))
+    val pq = rows(Similarity.pqTopK(df, q, col("vec_id"), col("embedding"),
+      k = 5, m = 4, ksub = 16))
+    assert(full == pq)
+    // pruned probe: usable recall vs the uncompressed exact baseline
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, q, col("vec_id"), col("embedding"), k = 5))
+    val pruned = pairs(Similarity.ivfPqTopK(df, q, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 4, m = 4, ksub = 16))
+    val recall = (exact intersect pruned).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall") // floor measured on the hash generator
+  }
+
   test("PQ ANN: recall vs brute force (compressed-domain scan)") {
     val df = vecs(300).cache()
     val q = df.filter(col("vec_id") < 20)
