@@ -400,6 +400,19 @@ object DataOpsQueries {
           graft.sketch.CountMin.estimate(col("sk"), col("t"), 4).as("est_n"))
     }),
 
+    // ---- HyperLogLog distinct-count sketch (mergeable max-register
+    //      aggregate; constant shuffle vs count(distinct)'s key-keyed
+    //      shuffle; exact count alongside = the accuracy audit) ----
+    "v_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("event_type")).agg(
+          graft.sketch.Hll.agg(col("user_id"), p = 8).as("sk"),
+          countDistinct(col("user_id")).cast("long").as("exact_n"))
+        .select(col("event_type"), col("exact_n"),
+          round(graft.sketch.Hll.estimate(col("sk"), p = 8) + lit(1e-9), 4)
+            .as("est_n"))
+    }),
+
     // ---- PMI top collocations (adjacent-pair mutual information in
     //      integer micronats — the tokenizer-merge / MWE audit) ----
     "p_pmi_pairs" -> ((s, _) => {
@@ -1169,6 +1182,41 @@ object DataOpsQueries {
          |  CAST(min(cells.c) AS BIGINT) AS est_n
          |FROM cand JOIN cells USING (j, pos)
          |GROUP BY cand.t, cand.n""".stripMargin,
+
+    // HLL twin: rebuild the EXACT register array from raw data (same
+    // md5-derived bucket/rho scheme), fold Σ2^-M in register-index order
+    // (bit-identical double sum), apply the same estimator text with the
+    // linear-counting small-range branch.
+    "v_hll" -> {
+      val hexpr = dH15("concat('hll|', user_id)")
+      s"""WITH hpairs AS (
+         |  SELECT event_type, $hexpr AS h
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+         |r AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+         |        max(53 - (CASE WHEN h // 256 = 0 THEN 0
+         |                  ELSE len(printf('%b', h // 256)) END)) AS rho
+         |      FROM hpairs GROUP BY event_type, bucket),
+         |regs AS (SELECT g.event_type, gs.b, coalesce(r.rho, 0) AS rho
+         |         FROM (SELECT DISTINCT event_type FROM events) g
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gs
+         |         LEFT JOIN r ON r.event_type = g.event_type AND r.bucket = gs.b),
+         |l AS (SELECT event_type, list(rho ORDER BY b) AS rs FROM regs
+         |      GROUP BY event_type),
+         |est AS (SELECT event_type,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list_transform(rs, x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE))),
+         |            (acc, x) -> acc + x) AS sum_inv,
+         |          len(list_filter(rs, x -> x = 0)) AS zeros FROM l),
+         |e AS (SELECT event_type, zeros,
+         |        (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / sum_inv AS raw
+         |      FROM est),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+         |       FROM events GROUP BY event_type)
+         |SELECT e.event_type, ex.exact_n,
+         |  round((CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+         |         THEN 256.0 * ln(256.0 / zeros) ELSE raw END) + 1e-9, 4) AS est_n
+         |FROM e JOIN ex ON ex.event_type = e.event_type""".stripMargin
+    },
 
     // PMI twin: same counts, same fixed-order double expression, same
     // +1e-9 micronat rounding as the LM/NB oracles.
