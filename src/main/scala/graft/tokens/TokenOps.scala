@@ -462,14 +462,21 @@ object TokenOps {
     val spark = df.sparkSession
     var cur = df.select(col("doc_id"), col("tokens"))
     val rounds = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int, Long, Long)]()
-    for (i <- 0 until iters) {
-      val top = bpePairCounts(cur, k = 1).select("a", "b", "n").head()
-      val (a, b, n) = (top.getInt(0), top.getInt(1), top.getLong(2))
-      val newId = baseId + i
-      cur = cur.select(col("doc_id"), bpeMerge(col("tokens"), a, b, newId).as("tokens"))
-      if ((i + 1) % 8 == 0) cur = cur.localCheckpoint(true)
-      val total = cur.agg(sum(size(col("tokens"))).cast("long")).head().getLong(0)
-      rounds += ((i.toLong, a, b, newId, n, total))
+    var exhausted = false
+    for (i <- 0 until iters if !exhausted) {
+      // a corpus can run out of adjacent pairs (every row merged to one
+      // token) before `iters` rounds — stop and return the rounds learned,
+      // never a head()-on-empty crash
+      bpePairCounts(cur, k = 1).select("a", "b", "n").collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val (a, b, n) = (top.getInt(0), top.getInt(1), top.getLong(2))
+          val newId = baseId + i
+          cur = cur.select(col("doc_id"), bpeMerge(col("tokens"), a, b, newId).as("tokens"))
+          if ((i + 1) % 8 == 0) cur = cur.localCheckpoint(true)
+          val total = cur.agg(sum(size(col("tokens"))).cast("long")).head().getLong(0)
+          rounds += ((i.toLong, a, b, newId, n, total))
+      }
     }
     import spark.implicits._
     rounds.toSeq.toDF("it", "merge_a", "merge_b", "new_id", "n_pair", "total_after")

@@ -383,6 +383,12 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(m(0) == ((0L, 7, 7, 100, 150L, 100L)))
     assert(m(1) == ((1L, 100, 100, 101, 50L, 50L))) // (Z,Z) -> 101
     assert(m.map(_._6).toSeq == m.map(_._6).toSeq.sorted.reverse) // monotone compression
+    // pair-exhausted corpus: the loop stops early with the rounds learned
+    // (here round 1 leaves [Z] rows with no pairs; round 2 finds none)
+    val tiny = Seq((1L, Array(3, 3)), (2L, Array(3, 3))).toDF("doc_id", "tokens")
+    val ex = TokenOps.trainBpe(tiny, iters = 5, baseId = 200)
+      .select("it", "merge_a", "merge_b").as[(Long, Int, Int)].collect()
+    assert(ex.toSeq == Seq((0L, 3, 3)))
     // round 1 of the loop agrees with the standalone single-iteration op
     val gen = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 400, parts = 4).toDF()
     val one = TokenOps.applyTopBpeMerge(gen, newId = 900)
