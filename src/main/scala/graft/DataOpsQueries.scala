@@ -61,6 +61,32 @@ object DataOpsQueries {
   private def dFoldSum(listExpr: String) =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
 
+  // ---------- BPE training chain (twin of TokenOps.trainBpe) ----------
+
+  private val BpeIters = 3
+  private val BpeBase = 50257
+
+  /** CTE chain `c0,t0,d1,s1, … c{n-1},t{n-1},dn,sn` re-deriving each BPE
+    * round over the previous round's merged corpus (expects a `d0` CTE
+    * with `(doc_id, tokens)`). Shared by the `p_bpe_train` and
+    * `p_bpe_encode` oracles.
+    */
+  private def bpeChainCtes(iters: Int, base: Int): String =
+    (0 until iters).map { i =>
+      s"""c$i AS (SELECT a, b, count(*)::BIGINT AS n FROM (
+         |  SELECT tokens[i] AS a, tokens[i+1] AS b
+         |  FROM d$i, unnest(generate_series(1, len(tokens)-1)) AS g(i)) GROUP BY a, b),
+         |t$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+         |d${i + 1} AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST([] AS INT[]), list_transform(tokens, t -> [t])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = t$i.a AND x[1] = t$i.b
+         |                THEN list_concat(acc[1:len(acc)-1], [CAST(${base + i} AS INT)])
+         |                ELSE list_concat(acc, x) END) AS tokens
+         |  FROM d$i, t$i),
+         |s${i + 1} AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS total FROM d${i + 1})"""
+        .stripMargin
+    }.mkString(",\n")
+
   private val ShingleN = 3
   private val MinHashK = 16
   private val MinHashBands = 4
@@ -314,6 +340,17 @@ object DataOpsQueries {
       graft.tokens.TokenOps.trainBpe(
         graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF(),
         iters = 3, baseId = 50257)
+    }),
+
+    // ---- tokenizer inference: apply the trained 3-merge table in
+    //      training order — one narrow chain of native BpeMerge passes ----
+    "p_bpe_encode" -> ((s, _) => {
+      val d = graft.tokens.Winnow.genWithBoilerplate(s, rows = 3000, parts = 8).toDF()
+      val mt = graft.tokens.TokenOps.trainBpe(d, iters = 3, baseId = 50257)
+        .select("it", "merge_a", "merge_b", "new_id").collect()
+        .sortBy(_.getLong(0))
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+      graft.tokens.TokenOps.applyMergeTable(d, mt)
     }),
 
     // ---- SemDeDup: embedding-cluster-bounded semantic dedup (deterministic
@@ -1022,32 +1059,30 @@ object DataOpsQueries {
     // round re-derives the argmax over the PREVIOUS round's merged corpus
     // (so learned ids compose) and re-counts the corpus total after it.
     "p_bpe_train" -> {
-      val iters = 3
-      val base = 50257
-      val ctes = (0 until iters).map { i =>
-        s"""c$i AS (SELECT a, b, count(*)::BIGINT AS n FROM (
-           |  SELECT tokens[i] AS a, tokens[i+1] AS b
-           |  FROM d$i, unnest(generate_series(1, len(tokens)-1)) AS g(i)) GROUP BY a, b),
-           |t$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
-           |d${i + 1} AS (SELECT doc_id,
-           |  list_reduce(list_prepend(CAST([] AS INT[]), list_transform(tokens, t -> [t])),
-           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = t$i.a AND x[1] = t$i.b
-           |                THEN list_concat(acc[1:len(acc)-1], [CAST(${base + i} AS INT)])
-           |                ELSE list_concat(acc, x) END) AS tokens
-           |  FROM d$i, t$i),
-           |s${i + 1} AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS total FROM d${i + 1})"""
-          .stripMargin
-      }.mkString(",\n")
-      val rows = (0 until iters).map { i =>
+      val rows = (0 until BpeIters).map { i =>
         s"""SELECT CAST($i AS BIGINT) AS it, t$i.a AS merge_a, t$i.b AS merge_b,
-           |  CAST(${base + i} AS INT) AS new_id, t$i.n AS n_pair,
+           |  CAST(${BpeBase + i} AS INT) AS new_id, t$i.n AS n_pair,
            |  s${i + 1}.total AS total_after FROM t$i, s${i + 1}""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH d0 AS (SELECT doc_id, tokens
          |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
-         |$ctes
+         |${bpeChainCtes(BpeIters, BpeBase)}
          |$rows""".stripMargin
     },
+
+    // BPE encode twin: the SAME training chain re-derived, final corpus
+    // d3 joined back to the raw rows for lengths + content hash — any
+    // divergence in any round's argmax or greedy fold breaks the match.
+    "p_bpe_encode" ->
+      s"""WITH d0 AS (SELECT doc_id, tokens
+         |  FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet')),
+         |${bpeChainCtes(BpeIters, BpeBase)}
+         |SELECT o.doc_id, o.source,
+         |  CAST(len(o.tokens) AS BIGINT) AS n_before,
+         |  CAST(len(d$BpeIters.tokens) AS BIGINT) AS n_after,
+         |  ${dH15(s"array_to_string(d$BpeIters.tokens, ',')")} AS encoded_hash
+         |FROM read_parquet('${graft.SparkEntry.OutDirToken}/_inputs/gen_boiler/*.parquet') o
+         |JOIN d$BpeIters ON d$BpeIters.doc_id = o.doc_id""".stripMargin,
 
     "d_semdedup" ->
       s"""WITH seeds AS (

@@ -482,6 +482,31 @@ object TokenOps {
     rounds.toSeq.toDF("it", "merge_a", "merge_b", "new_id", "n_pair", "total_after")
   }
 
+  /** Tokenizer INFERENCE: apply a trained merge table (the [[trainBpe]]
+    * artifact, or any `(a, b, newId)` list) to every row in training
+    * order — how new text is encoded with a finished BPE vocabulary.
+    * Output keeps arrays out of the result: `(doc_id, source, n_before,
+    * n_after, encoded_hash)`.
+    *
+    * Scale shape: ONE narrow pass — the merge list is a plan-time chain of
+    * codegen'd [[graft.functions.BpeMerge]] expressions (model-sized, the
+    * same transport class as a centroid literal), no shuffle, no join; at
+    * a production merge count (~50k) the chain becomes a single loop
+    * expression over a shipped merge array (the [[graft.sim.NearestCell]]
+    * pattern) — the sandbox-sized chain keeps every stage individually
+    * SQL-twinnable.
+    */
+  def applyMergeTable(df: DataFrame, merges: Seq[(Int, Int, Int)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    val encoded = merges.foldLeft(col("tokens")) {
+      case (acc, (a, b, nid)) => bpeMerge(acc, a, b, nid)
+    }
+    df.select(col("doc_id"), col("source"),
+      size(col("tokens")).cast("long").as("n_before"),
+      size(encoded).cast("long").as("n_after"),
+      contentHash(encoded).as("encoded_hash"))
+  }
+
   /** Vocabulary pruning / UNK remap: map every token outside the corpus
     * top-`vocabSize` vocabulary to `unkId` — the remediation step after an
     * [[graft.text.TextOps.oovRate]] audit flags a vocab budget, and the

@@ -398,6 +398,29 @@ class TokenChunkDedupSpec extends graft.SparkSpec {
     assert(one == loop)
   }
 
+  test("bpe encode: applying the trained merge table reproduces the training-loop corpus") {
+    val gen = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 400, parts = 4).toDF()
+    val mt = TokenOps.trainBpe(gen, iters = 3, baseId = 700)
+      .select("it", "merge_a", "merge_b", "new_id")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+      .map(t => (t._2, t._3, t._4)).toSeq
+    assert(mt.size == 3)
+    val enc = TokenOps.applyMergeTable(gen, mt)
+      .select("doc_id", "n_after", "encoded_hash")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // independently re-apply the merges as a manual chain
+    val manual = mt.foldLeft(gen.select(col("doc_id"), col("tokens"))) {
+      case (d, (a, b, nid)) =>
+        d.select(col("doc_id"), TokenOps.bpeMerge(col("tokens"), a, b, nid).as("tokens"))
+    }.select(col("doc_id"), size(col("tokens")).cast("long").as("n"),
+        TokenOps.contentHash(col("tokens")).as("h"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(enc == manual)
+    // the chain actually compressed something
+    assert(enc.values.map(_._1).sum <
+      gen.agg(sum(col("n_tok"))).head().getLong(0))
+  }
+
   test("bpe pair counts: k truncation is a prefix; partitioning-invariant") {
     val big = graft.tokens.Winnow.genWithBoilerplate(spark, rows = 500, parts = 8).toDF()
     val k10 = TokenOps.bpePairCounts(big, k = 10)
