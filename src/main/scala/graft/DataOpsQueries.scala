@@ -437,6 +437,18 @@ object DataOpsQueries {
           graft.sketch.CountMin.estimate(col("sk"), col("t"), 4).as("est_n"))
     }),
 
+    // ---- Z-order (Morton) layout value: bit-interleave two key columns
+    //      so range-partitioned writes bound BOTH columns per file — the
+    //      two-column data-skipping layout (Delta OPTIMIZE ZORDER) ----
+    "p_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val x = pmod(col("user_id"), lit(65536L))
+      val y = pmod(col("event_id"), lit(65536L))
+      val zv = graft.ops.Layout.zValue(x, y, 16)
+      ev.select(col("event_id"), zv.as("zv"),
+        shiftright(zv, 24).as("cell"))
+    }),
+
     // ---- HyperLogLog distinct-count sketch (mergeable max-register
     //      aggregate; constant shuffle vs count(distinct)'s key-keyed
     //      shuffle; exact count alongside = the accuracy audit) ----
@@ -1217,6 +1229,18 @@ object DataOpsQueries {
          |  CAST(min(cells.c) AS BIGINT) AS est_n
          |FROM cand JOIN cells USING (j, pos)
          |GROUP BY cand.t, cand.n""".stripMargin,
+
+    // Z-order twin: the same bit interleave as integer arithmetic —
+    // bit i of x at position 2i, bit i of y at 2i+1.
+    "p_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((user_id % 65536) // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      } ++ (0 until 16).map { i =>
+        s"(((event_id % 65536) // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+      }
+      s"""SELECT event_id, zv, zv // ${1L << 24} AS cell FROM (
+         |  SELECT event_id, ${terms.mkString(" + ")} AS zv FROM events)""".stripMargin
+    },
 
     // HLL twin: rebuild the EXACT register array from raw data (same
     // md5-derived bucket/rho scheme), fold Σ2^-M in register-index order
