@@ -1732,15 +1732,16 @@ object DataOpsQueries {
 
     // PQ ANN twin: codebooks = the 16 hash-seeded vectors cut into 4
     // 16-dim subspaces; codes = per-subspace L2² argmin (element-order
-    // double fold, ties by codeword id); ADC = the fold of (q − decoded)²
-    // over the global dim order — bit-identical to PqAdc's s-major/i-minor
-    // accumulator.
+    // double fold, ties by codeword id); ADC = the s-ordered fold of
+    // per-subspace (q − codeword)² partials — bit-identical to the
+    // PqLut-entry + PqAdc table-read accumulation.
     "d_ann_pq" -> {
       val d2 = dFoldSum("list_transform(generate_series(1,16), " +
         "i -> (e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]) * " +
         "(e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]))")
-      val adc = dFoldSum("list_transform(generate_series(1,64), " +
-        "i -> (q_v[i]::DOUBLE - r[i]) * (q_v[i]::DOUBLE - r[i]))")
+      val d2q = dFoldSum("list_transform(generate_series(1,16), " +
+        "i -> (q.q_v[c2.s*16 + i]::DOUBLE - c2.cw[i]) * " +
+        "(q.q_v[c2.s*16 + i]::DOUBLE - c2.cw[i]))")
       s"""WITH seeds AS (
          |  SELECT embedding AS sv, CAST(row_number() OVER (
          |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS j
@@ -1754,12 +1755,14 @@ object DataOpsQueries {
          |      FROM embeddings e CROSS JOIN cb c),
          |codes AS (SELECT vec_id, s, cw FROM d
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1),
-         |rv AS (SELECT vec_id AS nbr_id, flatten(list(cw ORDER BY s)) AS r
-         |       FROM codes GROUP BY vec_id),
          |q AS (SELECT vec_id AS query_id, embedding AS q_v
          |      FROM embeddings WHERE vec_id < 10),
-         |scored AS (SELECT query_id, nbr_id, $adc AS ad2
-         |           FROM q, rv WHERE query_id <> nbr_id)
+         |qd AS (SELECT q.query_id, c2.vec_id AS nbr_id, c2.s, $d2q AS d2s
+         |       FROM q CROSS JOIN codes c2 WHERE q.query_id <> c2.vec_id),
+         |scored AS (SELECT query_id, nbr_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2s ORDER BY s)),
+         |      (a, x) -> a + x) AS ad2
+         |  FROM qd GROUP BY query_id, nbr_id)
          |SELECT query_id, nbr_id, round(ad2, 6) AS ad2, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |            ORDER BY ad2, nbr_id) AS INT) AS rank FROM scored)
@@ -1774,8 +1777,9 @@ object DataOpsQueries {
       val d2 = dFoldSum("list_transform(generate_series(1,16), " +
         "i -> (e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]) * " +
         "(e.embedding[c.s*16 + i]::DOUBLE - c.cw[i]))")
-      val adc = dFoldSum("list_transform(generate_series(1,64), " +
-        "i -> (q_v[i]::DOUBLE - r[i]) * (q_v[i]::DOUBLE - r[i]))")
+      val d2q = dFoldSum("list_transform(generate_series(1,16), " +
+        "i -> (p.q_v[c2.s*16 + i]::DOUBLE - c2.cw[i]) * " +
+        "(p.q_v[c2.s*16 + i]::DOUBLE - c2.cw[i]))")
       s"""WITH seeds AS (
          |  SELECT embedding AS sv, CAST(row_number() OVER (
          |    ORDER BY ${dH15("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS INT) AS j
@@ -1796,12 +1800,14 @@ object DataOpsQueries {
          |      FROM embeddings e CROSS JOIN cb c),
          |codes AS (SELECT vec_id, s, cw FROM d
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1),
-         |rv AS (SELECT vec_id AS nbr_id, flatten(list(cw ORDER BY s)) AS r
-         |       FROM codes GROUP BY vec_id),
-         |scored AS (SELECT p.query_id, a.nbr_id, $adc AS ad2
-         |           FROM probes p JOIN assigned a USING (cell)
-         |             JOIN rv ON rv.nbr_id = a.nbr_id
-         |           WHERE p.query_id <> a.nbr_id)
+         |qd AS (SELECT p.query_id, a.nbr_id, c2.s, $d2q AS d2s
+         |       FROM probes p JOIN assigned a USING (cell)
+         |         JOIN codes c2 ON c2.vec_id = a.nbr_id
+         |       WHERE p.query_id <> a.nbr_id),
+         |scored AS (SELECT query_id, nbr_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2s ORDER BY s)),
+         |      (a, x) -> a + x) AS ad2
+         |  FROM qd GROUP BY query_id, nbr_id)
          |SELECT query_id, nbr_id, round(ad2, 6) AS ad2, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |            ORDER BY ad2, nbr_id) AS INT) AS rank FROM scored)

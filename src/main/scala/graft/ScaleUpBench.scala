@@ -436,8 +436,150 @@ object ScaleUpBench {
         s""""dups":$nDup,"secs":$sSecs,"secs_cold":${timed.head._2}}""")
       spark.stop()
 
+    case "--pq" :: dir :: rest if rest.size <= 1 =>
+      // ANN scale probe: exact brute force vs compressed-domain PQ vs
+      // cell-pruned IVF-PQ over the materialized embeddings, same query
+      // set — the measured cost ladder of the three search architectures.
+      val spark = session()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nVecs = emb.count()
+      val nq = rest.headOption.map(_.toInt).getOrElse(100)
+      val q = emb.filter(col("vec_id") < nq)
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nB, tB) = timed(graft.sim.Similarity.bruteForceTopK(
+        emb, q, col("vec_id"), col("embedding"), k = 10).count())
+      val (nP, tP) = timed(graft.sim.Similarity.pqTopK(
+        emb, q, col("vec_id"), col("embedding"), k = 10).count())
+      val nlist = graft.sim.Similarity.autoNlist(nVecs)
+      val (nI, tI) = timed(graft.sim.Similarity.ivfPqTopK(
+        emb, q, col("vec_id"), col("embedding"), k = 10,
+        nlist = nlist, nprobe = math.max(1, nlist / 4)).count())
+      println(s"""PQ {"dir":"$dir","vectors":$nVecs,"queries":$nq,"nlist":$nlist,""" +
+        s""""brute":{"rows":$nB,"secs":$tB},"pq":{"rows":$nP,"secs":$tP},""" +
+        s""""ivfpq":{"rows":$nI,"secs":$tI}}""")
+      spark.stop()
+
+    case "--pqstage" :: dir :: rest if rest.size <= 1 =>
+      // stage-level timing for the PQ scan: encode-only, pair-scored
+      // without the top-k window, and the full query — locates the cost
+      val spark = session()
+      import org.apache.spark.sql.graft.Bridge
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nq = rest.headOption.map(_.toInt).getOrElse(100)
+      val q0 = emb.filter(col("vec_id") < nq)
+      val cbs = graft.sim.Similarity.pqCodebooks(emb, col("vec_id"), col("embedding"), 4, 16)
+      val coded = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))
+        .withColumn("codes", Bridge.column(graft.sim.PqEncode(Bridge.expression(col("nbr_v")), cbs)))
+        .select("nbr_id", "codes")
+      def t(f: => Long): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val tEnc = t(coded.count())
+      val q = q0.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+        .withColumn("lut", Bridge.column(graft.sim.PqLut(Bridge.expression(col("q_v")), cbs)))
+        .select("query_id", "lut")
+      val scored = coded.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+        .withColumn("ad2", Bridge.column(graft.sim.PqAdc(
+          Bridge.expression(col("lut")), Bridge.expression(col("codes")), 4, 16)))
+        .select("query_id", "nbr_id", "ad2")
+      val tScore = t(scored.filter(col("ad2") < -1.0).count()) // forces full scan, ~0 rows out
+      val tFull = t(graft.sim.Similarity.pqTopK(emb, q0, col("vec_id"), col("embedding"), k = 10).count())
+      // brute stages for contrast
+      val bScored = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"),
+          graft.sim.Similarity.norm(col("embedding")).as("n_c"))
+        .join(broadcast(q0.select(col("vec_id").as("query_id"), col("embedding").as("q_v"),
+          graft.sim.Similarity.norm(col("embedding")).as("n_q"))),
+          col("query_id") =!= col("nbr_id"))
+        .withColumn("cos", graft.sim.Similarity.dot(col("q_v"), col("nbr_v")) / (col("n_q") * col("n_c")))
+        .select("query_id", "nbr_id", "cos")
+      val tBScore = t(bScored.filter(col("cos") > 2.0).count())
+      // identical windows over the two skinny scored sets
+      import org.apache.spark.sql.expressions.Window
+      val wP = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("nbr_id"))
+      val tPqWin = t(scored.withColumn("rank", row_number().over(wP))
+        .filter(col("rank") <= 10).count())
+      val wB = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+      val tBWin = t(bScored.withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 10).count())
+      val plan = graft.sim.Similarity.pqTopK(emb, q0, col("vec_id"),
+        col("embedding"), k = 10).queryExecution.executedPlan.toString
+      val hasPartial = plan.contains("WindowGroupLimit") && plan.contains("Partial")
+      // isolate the sort-key: pq rows ranked by a synthetic cheap double,
+      // and by nbr_id alone; brute ranked ascending like pq
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy((col("nbr_id") * 1.0).as("synth"), col("nbr_id"))
+      val tPqSynth = t(scored.withColumn("rank", row_number().over(wS))
+        .filter(col("rank") <= 10).count())
+      // tie-heavy synthetic key (500 distinct values) — comparator probe
+      val wT = Window.partitionBy(col("query_id"))
+        .orderBy((pmod(col("nbr_id"), lit(500L)) * 1.0).as("synth"), col("nbr_id"))
+      val tPqTies = t(scored.withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 10).count())
+      // materialization probe: persist the skinny scored rows, then window
+      val cached = scored.persist()
+      val tMat = t(cached.count())
+      val tWinCached = t(cached.withColumn("rank", row_number().over(wP))
+        .filter(col("rank") <= 10).count())
+      cached.unpersist()
+      // codegen-pathology probe: same live window with whole-stage codegen off
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val tWinNoWscg = t(scored.withColumn("rank", row_number().over(wP))
+        .filter(col("rank") <= 10).count())
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val wBA = Window.partitionBy(col("query_id")).orderBy(col("cos"), col("nbr_id"))
+      val tBWinAsc = t(bScored.withColumn("rank", row_number().over(wBA))
+        .filter(col("rank") <= 10).count())
+      println(s"""PQSTAGE {"dir":"$dir","encode_secs":$tEnc,"pq_scan_secs":$tScore,""" +
+        s""""pq_win_secs":$tPqWin,"brute_win_secs":$tBWin,"pq_win_synthkey_secs":$tPqSynth,""" +
+        s""""pq_win_tieskey_secs":$tPqTies,"pq_mat_secs":$tMat,"pq_win_cached_secs":$tWinCached,"pq_win_nowscg_secs":$tWinNoWscg,""" +
+        s""""brute_win_asc_secs":$tBWinAsc,""" +
+        s""""pq_full_secs":$tFull,"brute_scan_secs":$tBScore,"pq_partial_limit":$hasPartial}""")
+      spark.stop()
+
+    case "--bm25" :: dir :: rest if rest.size <= 1 =>
+      // retrieval scale probe: BM25 top-k over the materialized documents
+      // with the first nq docs as queries — the query-vocab prune keeps
+      // the model bounded regardless of corpus vocabulary.
+      val spark = session()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val nq = rest.headOption.map(_.toInt).getOrElse(20)
+      val t0 = System.nanoTime()
+      val n = graft.text.TextOps.bm25TopK(docs, col("text"), col("doc_id"),
+        docs.filter(col("doc_id") < nq), col("doc_id"), col("text"), k = 10).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""BM25 {"dir":"$dir","docs":$nDocs,"queries":$nq,"rows":$n,"secs":$secs}""")
+      spark.stop()
+
+    case "--hll" :: nRows :: rest if rest.size <= 1 =>
+      // cardinality scale probe: HLL sketch vs exact count(distinct) over
+      // a generated keyed stream — the shuffle-constant vs key-keyed
+      // shuffle trade measured at row scale.
+      val spark = session()
+      import spark.implicits._
+      val n = nRows.toLong
+      val groups = rest.headOption.map(_.toInt).getOrElse(8)
+      val rows = spark.range(n).select(
+        (col("id") % groups).cast("string").as("grp"),
+        // ~n/3 distinct keys per group, hash-scattered
+        ((col("id") * 2654435761L) % (n / 3 + 1)).as("k"))
+      val t0 = System.nanoTime()
+      val est = rows.groupBy("grp")
+        .agg(graft.sketch.Hll.agg(col("k"), p = 12).as("sk"))
+        .select(graft.sketch.Hll.estimate(col("sk"), p = 12).as("e"))
+        .agg(org.apache.spark.sql.functions.sum("e")).head().getDouble(0)
+      val tHll = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val exact = rows.groupBy("grp")
+        .agg(countDistinct(col("k")).as("d"))
+        .agg(org.apache.spark.sql.functions.sum("d")).head().getLong(0)
+      val tExact = (System.nanoTime() - t1) / 1e9
+      println(s"""HLL {"rows":$n,"groups":$groups,"est_sum":$est,"exact_sum":$exact,""" +
+        s""""err":${math.abs(est - exact) / exact},"hll_secs":$tHll,"exact_secs":$tExact}""")
+      spark.stop()
+
     case other =>
-      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] | --pii nDocs [dir] | --strip nDocs [dir] | --shuffle nRows [dir] | --bpe nDocs [dir] | --semdedup dir [nlist] (got $other)")
+      System.err.println(s"usage: --materialize dir nDocs nEmb | --run dir [prefixes] | --neardup dir bandBits | --embed dir nBits | --embed-banded dir bands rowBits | --pack dir shards | --chunk nDocs [dir] | --decontam nDocs [dir] | --incr corpusRows batchRows [dir] | --pii nDocs [dir] | --strip nDocs [dir] | --shuffle nRows [dir] | --bpe nDocs [dir] | --semdedup dir [nlist] | --pq dir [nq] | --bm25 dir [nq] | --hll nRows [groups] (got $other)")
       sys.exit(2)
   }
 }

@@ -29,7 +29,10 @@ object Layout {
       } ++ (0 until bits).map { i =>
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
       }
-    terms.reduce(_ + _) // disjoint bit positions: + == OR
+    // negative coordinates would sign-extend through the shifts into a
+    // garbage curve value — malformed input → NULL, the repo contract
+    when(x < 0 || y < 0, lit(null: java.lang.Long))
+      .otherwise(terms.reduce(_ + _)) // disjoint bit positions: + == OR
   }
 
   /** Cluster `df` for two-column skipping: range-partition on the Z-order

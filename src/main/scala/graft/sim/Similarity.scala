@@ -125,7 +125,10 @@ object Similarity {
     val q = queries.select(id.as("query_id"), vec.as("q_v"), norm(vec).as("n_q"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) / (col("n_q") * col("n_c")), 6))
-      .drop("n_q", "n_c")
+      // skinny BEFORE the window: the per-query top-k sorts and shuffles
+      // |Q|*N rows, and dragging the vectors through that sort measured
+      // as the dominant cost of the whole query (BENCH.md, PQSTAGE)
+      .select(col("query_id"), col("nbr_id"), col("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
@@ -200,6 +203,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) /
         (norm(col("q_v")) * norm(col("nbr_v"))), 6))
+      .select(col("query_id"), col("nbr_id"), col("cos")) // skinny pre-window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
@@ -245,6 +249,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", round(dot(col("q_v"), col("nbr_v")) /
         (norm(col("q_v")) * norm(col("nbr_v"))), 6))
+      .select(col("query_id"), col("nbr_id"), col("cos")) // skinny pre-window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
@@ -442,10 +447,19 @@ object Similarity {
       .withColumn("codes",
         Bridge.column(PqEncode(Bridge.expression(col("nbr_v")), cbs)))
       .select("nbr_id", "codes") // vectors end here — ADC needs codes only
+    // ADC lookup table computed ONCE per query (the broadcast side), so
+    // each candidate costs m table reads, not D flops — measured: the
+    // no-LUT form was SLOWER than brute force at 500k×100 (BENCH.md)
     val q = queries.select(id.as("query_id"), vec.as("q_v"))
+      .withColumn("lut", Bridge.column(PqLut(Bridge.expression(col("q_v")), cbs)))
+      .select("query_id", "lut")
     val scored = coded.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("ad2", Bridge.column(PqAdc(
-        Bridge.expression(col("q_v")), Bridge.expression(col("codes")), cbs)))
+        Bridge.expression(col("lut")), Bridge.expression(col("codes")),
+        m, cbs.head.size)))
+      // skinny BEFORE the window: carrying the 1KB lut + codes through
+      // the top-k sort measured as 70 of 72 seconds at 500k x 100
+      .select(col("query_id"), col("nbr_id"), col("ad2"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"),
@@ -496,11 +510,15 @@ object Similarity {
     }
     val q = queries.select(id.as("query_id"), vec.as("q_v"))
       .withColumn("cell", explode(transform(probeCells, s => -s.getField("nc"))))
+      .withColumn("lut", Bridge.column(PqLut(Bridge.expression(col("q_v")), cbs)))
+      .select("query_id", "cell", "lut")
 
     val scored = coded.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("ad2", Bridge.column(PqAdc(
-        Bridge.expression(col("q_v")), Bridge.expression(col("codes")), cbs)))
+        Bridge.expression(col("lut")), Bridge.expression(col("codes")),
+        m, cbs.head.size)))
+      .select(col("query_id"), col("nbr_id"), col("ad2")) // skinny pre-window
     val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"),

@@ -420,15 +420,18 @@ class DataOpsSpec extends SparkSpec {
     val coded = df
       .withColumn("codes", Bridge.column(
         graft.sim.PqEncode(Bridge.expression(col("embedding")), cbs)))
+      .withColumn("lut", Bridge.column(
+        graft.sim.PqLut(Bridge.expression(col("embedding")), cbs)))
       .withColumn("ad2", Bridge.column(graft.sim.PqAdc(
-        Bridge.expression(col("embedding")), Bridge.expression(col("codes")), cbs)))
+        Bridge.expression(col("lut")), Bridge.expression(col("codes")), m, ksub)))
       .select("vec_id", "embedding", "codes", "ad2")
       .as[(Long, Array[Float], Array[Int], Double)].collect()
     assert(coded.forall(_._3.length == m))
     assert(coded.forall(_._3.forall(c => c >= 0 && c < ksub)))
     // independent in-memory recompute of every code and every ADC distance
+    // (ADC = s-ordered sum of per-subspace LUT partials)
     coded.foreach { case (id, v, codes, ad2) =>
-      var acc = 0.0 // ONE global accumulator, s-major/i-minor — PqAdc's
+      var acc = 0.0
       (0 until m).foreach { s =>
         val d2s = (0 until ksub).map { j =>
           j -> (0 until dsub).map { i =>
@@ -437,10 +440,7 @@ class DataOpsSpec extends SparkSpec {
         }
         val want = d2s.minBy { case (j, d) => (d, j) }._1
         assert(codes(s) == want, s"vec $id sub $s: got ${codes(s)}, want $want")
-        (0 until dsub).foreach { i =>
-          val d = v(s * dsub + i).toDouble - cbs(s)(codes(s))(i).toDouble
-          acc += d * d
-        }
+        acc += d2s(codes(s))._2
       }
       assert(acc == ad2, s"vec $id: adc $ad2 != recomputed $acc")
     }
@@ -450,20 +450,27 @@ class DataOpsSpec extends SparkSpec {
     assert(coded.map(_._4).min == 0.0)
   }
 
-  test("PQ ANN: malformed codes (wrong length, out-of-range id) -> NULL, never a crash") {
+  test("PQ ANN: malformed codes or lut (wrong length, out-of-range id) -> NULL, never a crash") {
     import org.apache.spark.sql.graft.Bridge
     val df = vecs(20)
     val cbs = Similarity.pqCodebooks(df, col("vec_id"), col("embedding"), 4, 16)
     val bad = Seq(
-      (1L, Array.fill(16)(0.5f), Array(0, 1, 2)),        // wrong length
+      (1L, Array.fill(16)(0.5f), Array(0, 1, 2)),        // wrong codes length
       (2L, Array.fill(16)(0.5f), Array(0, 1, 2, 16)),    // code >= ksub
       (3L, Array.fill(16)(0.5f), Array(0, 1, -1, 3)),    // negative code
       (4L, Array.fill(16)(0.5f), Array(0, 1, 2, 3)))     // well-formed
       .toDF("id", "v", "codes")
-    val out = bad.select(col("id"), Bridge.column(graft.sim.PqAdc(
-        Bridge.expression(col("v")), Bridge.expression(col("codes")), cbs)).as("ad2"))
+      .withColumn("lut", Bridge.column(
+        graft.sim.PqLut(Bridge.expression(col("v")), cbs)))
+    val adc = (lut: org.apache.spark.sql.Column) => Bridge.column(graft.sim.PqAdc(
+      Bridge.expression(lut), Bridge.expression(col("codes")), 4, 16))
+    val out = bad.select(col("id"), adc(col("lut")).as("ad2"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(out(1L) && out(2L) && out(3L) && !out(4L))
+    // truncated lut -> NULL even with valid codes
+    val shortLut = bad.filter(col("id") === 4L)
+      .select(adc(slice(col("lut"), 1, 10)).as("ad2")).head()
+    assert(shortLut.isNullAt(0))
   }
 
   test("IVF-PQ ANN: full probe degenerates to the pure PQ scan; pruned probe keeps recall") {

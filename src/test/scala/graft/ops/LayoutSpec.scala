@@ -26,6 +26,14 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("negative coordinates -> NULL z, never a sign-extended garbage value") {
+    val out = Seq((1L, -1L, 5L), (2L, 5L, -1L), (3L, 5L, 5L))
+      .toDF("id", "x", "y")
+      .select(col("id"), Layout.zValue(col("x"), col("y"), 8).as("z"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && !out(3L))
+  }
+
   test("quadrant-prefix law: high z bits == z of the high coordinate bits") {
     // the property that makes Z-ranges axis-bounded rectangles
     val rows = (0L until 300L).map(i => ((i * 53L) % 256L, (i * 19L) % 256L))
