@@ -225,6 +225,32 @@ object SparkEntry {
         .select(col("event_id"), col("ip"), col("dc"))
     }),
 
+    // ---- as-of enrichment: latest versioned state ≤ event time ----
+    // (Enrich.asofJoin — union + timeline window, one shuffle, no
+    //  |facts|×|versions| explosion). State table is derived
+    //  deterministically from the events' own user_id domain: versions at
+    //  Jan 1/9/17/25, raggedly missing when (user_id+v)%3=0 so some early
+    //  events exercise the null (no-state-yet) lane.
+    "q_asof_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val st = ev.select(col("user_id")).distinct()
+        .withColumn("v", explode(sequence(lit(0), lit(3))))
+        .filter(pmod(col("user_id") + col("v"), lit(3)) =!= 0)
+        .select(col("user_id"),
+          expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, v * 8, 0, 0, 0)")
+            .as("state_ts"),
+          element_at(
+            array(lit("bronze"), lit("silver"), lit("gold"), lit("plat")),
+            (pmod(col("user_id") * 7 + col("v") * 13, lit(4)) + 1).cast("int"))
+            .as("tier"))
+      graft.enrich.Enrich.asofJoin(ev, st, "user_id", "ts", "state_ts", Seq("tier"))
+        .select(col("event_id"), col("user_id"), col("tier"),
+          // ntz → parquet int64 micros, physically identical to the
+          // DuckDB oracle's naive TIMESTAMP (a tz'd literal would write
+          // ns and NaT-vs-unit artifacts break exact comparators)
+          col("state_ts").cast("timestamp_ntz").as("state_ts"))
+    }),
+
     // ---- parse_json (VRL parse_json; SURVEY §2.5) ----
     "q_parse_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -356,6 +382,22 @@ object SparkEntry {
         | CASE (user_id % 5) WHEN 0 THEN 'dc-a' WHEN 1 THEN 'dc-b'
         |      WHEN 2 THEN 'dc-c' WHEN 3 THEN 'dc-c' ELSE 'dc-default' END AS dc
         |FROM events""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
+    // union-window as-of implementation (same >= contract, null before
+    // a key's first version).
+    "q_asof_enrich" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |st AS (
+        |  SELECT user_id,
+        |         TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(v*8 AS INT)) AS state_ts,
+        |         CASE ((user_id*7 + v*13) % 4) WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+        |              WHEN 2 THEN 'gold' ELSE 'plat' END AS tier
+        |  FROM u, (SELECT unnest([0,1,2,3]) AS v) vs
+        |  WHERE (user_id + v) % 3 <> 0)
+        |SELECT e.event_id, e.user_id, s.tier, s.state_ts
+        |FROM events e ASOF LEFT JOIN st s
+        |  ON e.user_id = s.user_id AND e.ts >= s.state_ts""".stripMargin,
 
     "q_parse_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",

@@ -88,6 +88,57 @@ object Enrich {
     keys.foldLeft(df.join(broadcast(table), cond, "left"))((d, k) => d.drop(table(k)))
   }
 
+  /** As-of enrichment: attach to every fact row the attributes of the
+    * LATEST dim row with the same key and `dimTs <= factTs` — the
+    * slowly-changing-dimension lookup a log pipeline needs when the
+    * enrichment state is itself versioned (the reference reloads its
+    * enrichment tables on a timer, lib/enrichment/src/lib.rs:103-118; the
+    * batch analog of "which table version was live when this event
+    * happened"). DuckDB/kdb call this ASOF JOIN; Flink a temporal table
+    * join. Spark has no builtin, and the naive
+    * `JOIN ON key AND dimTs <= factTs` + max() explodes to
+    * |facts|×|versions| intermediate rows.
+    *
+    * Spark-first shape: ONE hash shuffle, NO row explosion — union the
+    * tagged dim rows into the fact stream and sort each key's timeline
+    * once; `last(<dim struct>, ignoreNulls)` over
+    * `Window.partitionBy(key).orderBy(ts, tag)` carries the most recent
+    * state forward. Dim rows sort BEFORE facts at equal ts (tag 0 < 1),
+    * giving the inclusive `factTs >= dimTs` contract. Facts before their
+    * key's first dim version keep null attributes (left as-of). The whole
+    * dim row travels as one struct, so a newer version's null attribute
+    * correctly OVERRIDES an older non-null one. Cost at any scale = the
+    * same single exchange+sort a groupBy would pay; a pathologically hot
+    * key serializes only its own timeline (salt by coarse time bucket and
+    * replicate boundary state if one key dominates an executor).
+    *
+    * Dims must be unique per (key, ts) — versioned state is by
+    * construction.
+    */
+  def asofJoin(facts: DataFrame, dims: DataFrame, key: String,
+               factTs: String, dimTs: String, attrs: Seq[String],
+               stateTsOut: String = "state_ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = facts
+      .withColumn("_ats", col(factTs).cast("timestamp"))
+      .withColumn("_tag", lit(1))
+    val r = dims.select(
+      col(key) +: col(dimTs).cast("timestamp").as("_ats") +:
+        lit(0).as("_tag") +: attrs.map(a => col(a).as(s"_d_$a")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ats"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dimStruct = last(
+      when(col("_tag") === 0,
+        struct(col("_ats").as("_sts") +: attrs.map(a => col(s"_d_$a").as(a)): _*)),
+      ignoreNulls = true).over(w)
+    u.withColumn("_st", dimStruct)
+      .filter(col("_tag") === 1)
+      .select(facts.columns.toSeq.map(col) ++
+        attrs.map(a => col("_st").getField(a).as(a)) :+
+        col("_st").getField("_sts").as(stateTsOut): _*)
+  }
+
   /** `find_enrichment_table_records` (find_enrichment_table_records.cue;
     * lib/enrichment/src/lib.rs `find_table_rows`): ALL rows matching the
     * condition, as one JSON-array column per event ("[]" on no match).

@@ -84,4 +84,41 @@ class EnrichSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("asofJoin: latest state <= fact ts, inclusive ties, null before first version") {
+    val facts = Seq(
+      (1L, "a", ts(5)),   // before a's first state → null
+      (2L, "a", ts(10)),  // exactly at v1 → inclusive, v1
+      (3L, "a", ts(15)),  // between v1 and v2 → v1
+      (4L, "a", ts(25)),  // after v2 → v2 (whose attr is NULL — must override v1)
+      (5L, "b", ts(50)),  // b has one state at 0
+      (6L, "c", ts(50))   // c has no states at all → null
+    ).toDF("id", "k", "ts")
+    val dims = Seq(
+      ("a", ts(10), Option("v1")), ("a", ts(20), None), ("b", ts(0), Option("bv"))
+    ).toDF("k", "sts", "tag")
+    val out = Enrich.asofJoin(facts, dims, "k", "ts", "sts", Seq("tag"))
+      .select(col("id"), col("tag"), col("state_ts"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getTimestamp(2)))))
+      .toMap
+    assert(out(1L) === ((None, None)))
+    assert(out(2L) === ((Some("v1"), Some(ts(10)))))
+    assert(out(3L) === ((Some("v1"), Some(ts(10)))))
+    // row-atomic semantics: v2's null attribute wins over v1's non-null
+    assert(out(4L) === ((None, Some(ts(20)))))
+    assert(out(5L) === ((Some("bv"), Some(ts(0)))))
+    assert(out(6L) === ((None, None)))
+  }
+
+  test("asofJoin plan: one exchange on the key, no join explosion") {
+    val facts = (1 to 100).map(i => (i.toLong, s"k${i % 5}", ts(i))).toDF("id", "k", "ts")
+    val dims = (0 to 4).flatMap(k => (0 to 3).map(v => (s"k$k", ts(v * 25), s"s$v")))
+      .toDF("k", "sts", "tag")
+    val df = Enrich.asofJoin(facts, dims, "k", "ts", "sts", Seq("tag"))
+    val plan = df.queryExecution.executedPlan.toString
+    // union-window shape: a Window over one hashpartitioning exchange, no join operator
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(df.count() === 100)
+  }
 }
