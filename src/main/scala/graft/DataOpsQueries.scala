@@ -250,6 +250,14 @@ object DataOpsQueries {
       TextOps.qualitySample(Tables.documents(s, dir), col("text"), col("doc_id"))
     }),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed-ngram LM
+    //      log-ratio weights toward the lang='en' target slice, Gumbel
+    //      top-k draw — all integer micro-nats, replay-stable ----
+    "t_dsir_sample" -> ((s, dir) => {
+      TextOps.dsirSample(Tables.documents(s, dir), col("text"), col("doc_id"),
+        col("lang") === "en")
+    }),
+
     // ---- corpus datasheet card (one-row release audit: totals, dup rate,
     //      quality pass rate, dominant language — all integer/ppm) ----
     "t_corpus_card" -> ((s, dir) => {
@@ -858,6 +866,30 @@ object DataOpsQueries {
          |          ((logodds_micronats + 4000000000000000) // 1000 - 4000000000000),
          |          1000000), 10000) AS keep_ppm
          |      FROM qc)""".stripMargin,
+
+    // DSIR twin: identical hashed buckets, add-one LMs in integer
+    // micro-nats, hash-Gumbel perturbation, rank-based top-k cut.
+    "t_dsir_sample" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |        ${dH15("concat('dsir|', w)")} % 4096 AS bk FROM tok),
+         |raw AS (SELECT bk, count(*)::BIGINT AS c_r FROM b GROUP BY bk),
+         |tgt AS (SELECT bk, count(*)::BIGINT AS c_t FROM b WHERE lang = 'en' GROUP BY bk),
+         |lm AS (SELECT r.bk, r.c_r, coalesce(t.c_t, 0)::BIGINT AS c_t
+         |       FROM raw r LEFT JOIN tgt t USING (bk)),
+         |tots AS (SELECT CAST(sum(c_r) AS DOUBLE) AS n_r, CAST(sum(c_t) AS DOUBLE) AS n_t FROM lm),
+         |lr AS (SELECT bk, CAST(round((ln((c_t + 1.0) / (n_t + 4096.0))
+         |                            - ln((c_r + 1.0) / (n_r + 4096.0))) * 1000000 + 1e-9, 0) AS BIGINT) AS lr_mn
+         |       FROM lm, tots),
+         |dw AS (SELECT b.doc_id, CAST(sum(lr.lr_mn) AS BIGINT) AS weight_mn
+         |       FROM b JOIN lr USING (bk) GROUP BY b.doc_id),
+         |sc AS (SELECT doc_id, weight_mn, weight_mn +
+         |         CAST(round(-ln(-ln(((${dH15("concat('dg|', doc_id)")} % 1000000) + 0.5) / 1000000.0))
+         |                    * 1000000 + 1e-9, 0) AS BIGINT) AS score_mn
+         |       FROM dw)
+         |SELECT doc_id, weight_mn, score_mn,
+         |       row_number() OVER (ORDER BY score_mn DESC, doc_id) <= 100 AS kept
+         |FROM sc""".stripMargin,
 
     "t_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -437,4 +437,57 @@ object TextOps {
           lit(2.0) * col("top_bigram_n") / col("n_words")).otherwise(0.0), 6)
           .as("top_bigram_frac"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): re-weight a raw corpus toward a target
+    * distribution using hashed bag-of-ngram language models, then draw a
+    * fixed budget with the Gumbel top-k trick (deterministic here: the
+    * Gumbel noise is a pure hash of doc_id, so the sample is
+    * replay-stable and SQL-twinnable).
+    *
+    * Per doc: weight = Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)]
+    * with add-one smoothing over `buckets` hashed feature buckets, in
+    * integer micro-nats (per-bucket rounding → order-independent BIGINT
+    * sums, exact across engines). kept = Gumbel-perturbed score ranks in
+    * the top `k`.
+    *
+    * Scale shape (10^12 docs): one tokenize feeds two map-side-combinable
+    * bucket counts; both LMs collapse to `buckets` rows → the
+    * log-ratio table BROADCASTS and the per-doc weight is one narrow
+    * broadcast-join + partial agg — the corpus never shuffles wide. The
+    * top-k cut is `TakeOrderedAndProject` (sample budget k is
+    * driver-sized by contract — it's the training-data budget, not a
+    * corpus fraction; for budgets beyond driver memory swap the exact cut
+    * for an approx-quantile threshold).
+    */
+  def dsirSample(df: DataFrame, text: Column, id: Column, targetPred: Column,
+                 buckets: Int = 4096, k: Int = 100): DataFrame = {
+    require(buckets > 0 && k > 0, "buckets and k must be positive")
+    val bk = df.select(id.as("doc_id"), targetPred.as("_tgt"),
+        explode(words(text)).as("w"))
+      .select(col("doc_id"), col("_tgt"),
+        pmod(Hashing.h15(concat(lit("dsir|"), col("w"))), lit(buckets.toLong))
+          .as("bk"))
+    val raw = bk.groupBy("bk").agg(count(lit(1)).as("c_r"))
+    val tgt = bk.filter(col("_tgt")).groupBy("bk").agg(count(lit(1)).as("c_t"))
+    val lm = raw.join(tgt, Seq("bk"), "left").na.fill(0L, Seq("c_t"))
+    val tots = lm.agg(sum("c_r").cast("double").as("n_r"),
+      sum("c_t").cast("double").as("n_t"))
+    val lr = lm.crossJoin(broadcast(tots)).select(col("bk"),
+      round((log((col("c_t") + lit(1.0)) / (col("n_t") + lit(buckets.toDouble))) -
+             log((col("c_r") + lit(1.0)) / (col("n_r") + lit(buckets.toDouble))))
+        * lit(1e6) + lit(1e-9), 0).cast("long").as("lr_mn"))
+    val weights = bk.join(broadcast(lr), Seq("bk"))
+      .groupBy("doc_id").agg(sum("lr_mn").as("weight_mn"))
+    val u = (pmod(Hashing.h15(concat(lit("dg|"), col("doc_id"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1e6)
+    val scored = weights.withColumn("score_mn",
+      col("weight_mn") +
+        round(-log(-log(u)) * lit(1e6) + lit(1e-9), 0).cast("long"))
+    val topk = scored.orderBy(col("score_mn").desc, col("doc_id"))
+      .limit(k).select(col("doc_id"), lit(true).as("_in"))
+    scored.join(broadcast(topk), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("weight_mn"), col("score_mn"),
+        coalesce(col("_in"), lit(false)).as("kept"))
+  }
 }

@@ -758,4 +758,28 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1L).toSet == Set("a b c", "b c d"))
     assert(out(2L).isEmpty)
   }
+
+  test("dsir: target-like docs outweigh raw-typical ones; exactly k kept; lr broadcasts") {
+    // target slice (id < 10) speaks vocabulary A; the rest vocabulary B.
+    // A held-out A-pure doc must weigh higher than a B-pure doc.
+    val docs = (0L until 20L).map { i =>
+      val v = if (i < 10) "alpha beta gamma delta" else "omega psi chi phi"
+      (i, s"$v $v $v")
+    }.toDF("doc_id", "text")
+    val df = TextOps.dsirSample(docs, col("text"), col("doc_id"),
+      col("doc_id") < 10, buckets = 512, k = 5)
+    val out = df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.size === 20)
+    assert(out.count(_._2._2) === 5) // exact budget
+    // every A-doc outweighs every B-doc (A tokens are 2x likely under the
+    // target LM, B tokens near-absent from it)
+    val aMin = (0L until 10L).map(out(_)._1).min
+    val bMax = (10L until 20L).map(out(_)._1).max
+    assert(aMin > bMax, s"aMin=$aMin bMax=$bMax")
+    // the log-ratio table is model-sized: it must broadcast, and the
+    // corpus must not sort-merge anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
