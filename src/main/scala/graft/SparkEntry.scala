@@ -126,6 +126,19 @@ object SparkEntry {
         .groupBy(col("sink")).agg(count(lit(1)).as("n"))
     }),
 
+    // ---- rendezvous (HRW) shard routing: resize-stable key→shard ----
+    // (scale path for sharded sinks; shard4 vs shard5 columns evidence the
+    //  minimal-movement property — only ~1/5 of keys move when a 5th shard
+    //  joins, vs ~4/5 under pmod routing)
+    "q_route_rendezvous" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val s4 = Seq("s0", "s1", "s2", "s3")
+      val a4 = Route.rendezvous(ev, col("user_id"), s4, "shard4")
+      Route.rendezvous(a4, col("user_id"), s4 :+ "s4", "shard5")
+        .select(col("event_id"), col("shard4"), col("shard5"),
+          (col("shard4") =!= col("shard5")).as("moved"))
+    }),
+
     // ---- sample: deterministic key sampling (sample/transform.rs:81-91) ----
     "q_sample" -> ((s, dir) => {
       Transforms.sampleByMod(Tables.events(s, dir), col("event_id"), 10)
@@ -308,6 +321,26 @@ object SparkEntry {
         |            WHEN event_type='signup' THEN 'signup'
         |            ELSE '_unmatched' END AS sink, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    // argmax-by-weight via row_number; tie-break ORDER BY w DESC, sh DESC
+    // matches Spark's struct-max (weight first, then shard name)
+    "q_route_rendezvous" ->
+      """WITH a4 AS (
+        |  SELECT event_id, sh,
+        |         row_number() OVER (PARTITION BY event_id ORDER BY
+        |           CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),'|',sh)),1,15)) AS BIGINT) DESC,
+        |           sh DESC) AS rn
+        |  FROM events, (SELECT unnest(['s0','s1','s2','s3']) AS sh)),
+        |a5 AS (
+        |  SELECT event_id, sh,
+        |         row_number() OVER (PARTITION BY event_id ORDER BY
+        |           CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),'|',sh)),1,15)) AS BIGINT) DESC,
+        |           sh DESC) AS rn
+        |  FROM events, (SELECT unnest(['s0','s1','s2','s3','s4']) AS sh))
+        |SELECT a4.event_id, a4.sh AS shard4, a5.sh AS shard5,
+        |       a4.sh <> a5.sh AS moved
+        |FROM a4 JOIN a5 ON a4.event_id = a5.event_id
+        |WHERE a4.rn = 1 AND a5.rn = 1""".stripMargin,
 
     "q_sample" ->
       "SELECT event_id, 10 AS sample_rate FROM events WHERE event_id % 10 = 0",

@@ -55,6 +55,31 @@ object Route {
     df.withColumn("sink", explode(sinks))
   }
 
+  /** Rendezvous (highest-random-weight) shard routing — assign each row to
+    * one of `shards` by the max of per-shard keyed hashes (Thaler &
+    * Ravishankar 1996, public algorithm). Unlike `pmod(hash, n)` routing,
+    * adding/removing one shard moves only ~1/(n+1) of the keys — the
+    * property a 100 TB fan-out sink needs when the sink set scales
+    * (the reference's sinks shard by key-hash templates,
+    * src/sinks/util/partitioner.rs; HRW is the resize-stable upgrade).
+    *
+    * Plan shape: a single narrow projection — the shard list is a plan
+    * constant, weights are codegen'd md5-prefix hashes, `array_max` over
+    * (weight, shard) structs picks the winner. No shuffle, no UDF, no
+    * broadcast; identical in Spark and the DuckDB oracle (h15 both sides).
+    * Ties (2^-60 per pair) break to the lexically larger shard name in
+    * both engines.
+    */
+  def rendezvous(df: DataFrame, key: Column, shards: Seq[String],
+                 out: String = "shard"): DataFrame = {
+    require(shards.nonEmpty, "rendezvous needs at least one shard")
+    val arms = shards.map { s =>
+      struct(graft.text.Hashing.h15(concat(key.cast("string"), lit("|" + s))).as("w"),
+        lit(s).as("shard"))
+    }
+    df.withColumn(out, array_max(array(arms: _*)).getField("shard"))
+  }
+
   /** `exclusive_route` — first-match-wins (reference:
     * src/transforms/exclusive_route/transform.rs:44-55; ordered routes with
     * `_unmatched` fallback). A single `when` chain — exactly one sink per
