@@ -264,6 +264,19 @@ object SparkEntry {
           col("state_ts").cast("timestamp_ntz").as("state_ts"))
     }),
 
+    // ---- skew-salted shuffle join: hot-key defusal without broadcast ----
+    // (dim derived from the events' own event_type domain — a full-coverage
+    //  left join, so the oracle is the plain join: any salt-replication
+    //  error shows up as ×salts duplicate or dropped rows)
+    "q_skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")))
+        .withColumn("type_tag", upper(col("event_type")))
+      graft.enrich.Enrich.saltedJoin(ev, dim, "event_type", col("event_id"), salts = 8)
+        .select(col("event_id"), col("event_type"), col("type_len"), col("type_tag"))
+    }),
+
     // ---- parse_json (VRL parse_json; SURVEY §2.5) ----
     "q_parse_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -431,6 +444,12 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, s.tier, s.state_ts
         |FROM events e ASOF LEFT JOIN st s
         |  ON e.user_id = s.user_id AND e.ts >= s.state_ts""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT event_id, event_type,
+        | CAST(length(event_type) AS INT) AS type_len,
+        | upper(event_type) AS type_tag
+        |FROM events""".stripMargin,
 
     "q_parse_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",

@@ -139,6 +139,38 @@ object Enrich {
         col("_st").getField("_sts").as(stateTsOut): _*)
   }
 
+  /** Skew-defusing salted shuffle join — for dim tables too big to
+    * broadcast joined on keys too skewed to shuffle flat (the "one tenant
+    * is 40% of the logs" case; the reference meets it as per-sink
+    * key-hash partitioning, src/sinks/util/partitioner.rs — here the
+    * same defusal applied to the join itself).
+    *
+    * Facts gain `_salt = xxhash64(rowKey) mod salts` (deterministic — any
+    * per-row column works; a unique id gives a uniform spread); dims are
+    * replicated once per salt via a `sequence`+`explode` (×salts rows,
+    * cheap because dims are the small-but-unbroadcastable side). The join
+    * key becomes (key, _salt), so a hot key's fact rows spread over
+    * `salts` reducers instead of ONE. Row-level semantics are exactly the
+    * plain join's (each fact row meets precisely the dim copies carrying
+    * its own salt) for inner/left types.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join split only rescues
+    * sort-merge joins AFTER a skewed shuffle materializes; explicit
+    * salting keeps every shuffle block bounded up front and also carries
+    * the layout into the downstream stage. salts ≈ ceil(hot-key share ×
+    * target parallelism) — 8–32 covers most log skew.
+    */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 rowKey: Column, salts: Int = 8,
+                 joinType: String = "left"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val fs = facts.withColumn("_salt",
+      pmod(xxhash64(rowKey), lit(salts.toLong)).cast("int"))
+    val ds = dims.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    fs.join(ds, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
   /** `find_enrichment_table_records` (find_enrichment_table_records.cue;
     * lib/enrichment/src/lib.rs `find_table_rows`): ALL rows matching the
     * condition, as one JSON-array column per event ("[]" on no match).

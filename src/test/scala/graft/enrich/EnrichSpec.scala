@@ -110,6 +110,43 @@ class EnrichSpec extends SparkSpec {
     assert(out(6L) === ((None, None)))
   }
 
+  test("saltedJoin: row-identical to the plain join, including misses") {
+    // 80% of facts share one hot key; one fact key has no dim row
+    val facts = (1 to 500).map(i =>
+      (i.toLong, if (i % 5 == 0) s"k${i % 3}" else "hot")).toDF("id", "k")
+    val dims = Seq(("hot", 1), ("k0", 2), ("k1", 3), ("nodim", 9)).toDF("k", "w")
+    for (salts <- Seq(1, 8)) {
+      val out = Enrich.saltedJoin(facts, dims, "k", col("id"), salts)
+        .select("id", "k", "w").as[(Long, String, Option[Int])].collect().sorted
+      val plain = facts.join(dims, Seq("k"), "left")
+        .select("id", "k", "w").as[(Long, String, Option[Int])].collect().sorted
+      assert(out.length === 500, s"salts=$salts row count")
+      assert(out.toSeq === plain.toSeq, s"salts=$salts")
+    }
+  }
+
+  test("saltedJoin: hot key's rows spread over many partitions post-join") {
+    val facts = (1 to 2000).map(i => (i.toLong, "hot")).toDF("id", "k")
+    val dims = Seq(("hot", 1)).toDF("k", "w")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      val parts = Enrich.saltedJoin(facts, dims, "k", col("id"), salts = 8)
+        .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+        .select("p").distinct().count()
+      // flat shuffle join puts ALL hot rows in 1 partition; salted ≈ 8
+      assert(parts >= 4, s"hot key only spread over $parts partitions")
+    }
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("asofJoin plan: one exchange on the key, no join explosion") {
     val facts = (1 to 100).map(i => (i.toLong, s"k${i % 5}", ts(i))).toDF("id", "k", "ts")
     val dims = (0 to 4).flatMap(k => (0 to 3).map(v => (s"k$k", ts(v * 25), s"s$v")))
