@@ -277,6 +277,18 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("type_len"), col("type_tag"))
     }),
 
+    // ---- Bloom-pruned selective join: semi-join pushdown ----
+    // (dim keys = 1/17 of the user domain — the sketch prunes ~94% of fact
+    //  rows before the join shuffle; result is exactly the plain inner join)
+    "q_bloom_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(17)) === 0)
+        .withColumn("grp", pmod(col("user_id"), lit(7)))
+      graft.enrich.Enrich.bloomPrunedJoin(ev, dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("grp"))
+    }),
+
     // ---- parse_json (VRL parse_json; SURVEY §2.5) ----
     "q_parse_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -450,6 +462,12 @@ object SparkEntry {
         | CAST(length(event_type) AS INT) AS type_len,
         | upper(event_type) AS type_tag
         |FROM events""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT e.event_id, e.user_id, (e.user_id % 7) AS grp
+        |FROM events e
+        |JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0) d
+        |  ON e.user_id = d.user_id""".stripMargin,
 
     "q_parse_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",

@@ -171,6 +171,36 @@ object Enrich {
     fs.join(ds, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Bloom-pruned inner join — semi-join pushdown for selective joins
+    * where the dim key set is small enough to SKETCH but the join itself
+    * must still shuffle (dims too big or too wide to broadcast whole).
+    *
+    * The dim keys fold into ONE mergeable Bloom bitset
+    * ([[graft.sketch.BloomSketch]] — map-side-combinable OR-merge, shuffle
+    * volume = mBits/8 bytes per partition regardless of dim size), the
+    * packed sketch ships as a broadcast variable, and facts pay a narrow
+    * codegen'd k-bit probe BEFORE the join shuffle. With join selectivity
+    * s and false-positive rate p, the fact shuffle shrinks to (s+p) of the
+    * table — at 100 TB that is the join. No false negatives, and false
+    * positives are dropped by the real join, so the result is exactly the
+    * plain inner join (the same contract as Spark's internal
+    * bloom_filter_agg runtime filter, here available as an explicit
+    * operator with the repo's cross-engine md5 bit scheme).
+    *
+    * Driver-side cost: one mBits/8-byte sketch materialization (a
+    * model-sized artifact, same pattern as `TokenOps.bloomSketchValue`).
+    */
+  def bloomPrunedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                      mBits: Long = 1L << 22, k: Int = 3): DataFrame = {
+    import graft.sketch.BloomSketch
+    import graft.text.Hashing
+    val sketch = dims.agg(BloomSketch.agg(Hashing.h15(col(key)), mBits, k))
+      .head().getAs[Array[Byte]](0)
+    val bc = facts.sparkSession.sparkContext.broadcast(sketch)
+    facts.filter(BloomSketch.probe(bc, Hashing.h15(col(key)), k))
+      .join(dims, Seq(key), "inner")
+  }
+
   /** `find_enrichment_table_records` (find_enrichment_table_records.cue;
     * lib/enrichment/src/lib.rs `find_table_rows`): ALL rows matching the
     * condition, as one JSON-array column per event ("[]" on no match).

@@ -147,6 +147,24 @@ class EnrichSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedJoin: exactly the plain inner join; prefilter actually prunes") {
+    val facts = (1 to 1000).map(i => (i.toLong, i.toLong % 97)).toDF("k", "v")
+    val dims = (1 to 1000).filter(_ % 50 == 0).map(i => (i.toLong, s"d$i")).toDF("k", "tag")
+    val out = Enrich.bloomPrunedJoin(facts, dims, "k")
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted
+    val plain = facts.join(dims, Seq("k"), "inner")
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted
+    assert(out.toSeq === plain.toSeq)
+    assert(out.length === 20)
+    // the probe itself prunes: at mBits=2^22 over 20 keys, FPs ≈ 0
+    val sketch = dims.agg(graft.sketch.BloomSketch.agg(
+      graft.text.Hashing.h15(col("k")), 1L << 22, 3)).head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val kept = facts.filter(graft.sketch.BloomSketch.probe(
+      bc, graft.text.Hashing.h15(col("k")), 3)).count()
+    assert(kept >= 20 && kept < 60, s"prefilter kept $kept of 1000")
+  }
+
   test("asofJoin plan: one exchange on the key, no join explosion") {
     val facts = (1 to 100).map(i => (i.toLong, s"k${i % 5}", ts(i))).toDF("id", "k", "ts")
     val dims = (0 to 4).flatMap(k => (0 to 3).map(v => (s"k$k", ts(v * 25), s"s$v")))
