@@ -73,6 +73,12 @@ object TransformVariantQueries {
         col("ts"), round(col("value"), 2))
     }),
 
+    // ---- idle-gap sessionization (reduce expire_after_ms batch analog) ----
+    "v_sessionize_gap" -> ((s, dir) => {
+      Transforms.sessionizeByGap(ev(s, dir), col("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), gapSec = 1800, round(col("value"), 2))
+    }),
+
     // ---- reduce max_events flush (reduce/config.rs) ----
     "v_reduce_max_events" -> ((s, dir) => {
       Transforms.reduceMaxEvents(ev(s, dir), Seq(col("user_id")), col("ts"),
@@ -271,6 +277,22 @@ object TransformVariantQueries {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session
         |  FROM events)
+        |GROUP BY user_id, session""".stripMargin,
+
+    "v_sessionize_gap" ->
+      """SELECT user_id AS key, CAST(session AS BIGINT) AS session, count(*) AS n,
+        | min(ts) AS first_ts, max(ts) AS last_ts,
+        | round(sum(round(value,2)), 2) AS sum_v,
+        | CAST(epoch(date_trunc('second', max(ts)))
+        |      - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_s
+        |FROM (
+        |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+        |                       OR epoch(date_trunc('second', ts))
+        |                        - epoch(date_trunc('second', prev_ts)) > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
         |GROUP BY user_id, session""".stripMargin,
 
     "v_reduce_starts_when" ->

@@ -299,6 +299,36 @@ object Transforms {
         round(sum(value), 2).as("sum_v"))
   }
 
+  /** Idle-gap sessionization (reference: reduce/config.rs `expire_after_ms`
+    * — a key's open session flushes once no event arrives within the gap;
+    * the streaming twin is `StreamOps`' event-time-timeout reduce). Batch
+    * analog: a session opens where the event-time gap from the key's
+    * previous row exceeds `gapSec`; session index = running count of such
+    * boundaries. One window pass + one hash aggregate on the SAME key
+    * partitioning — a single shuffle end to end, and per-key timelines
+    * stay partition-local at any corpus width.
+    */
+  def sessionizeByGap(df: DataFrame, key: Column, ts: Column,
+                      order: Seq[Column], gapSec: Long,
+                      value: Column): DataFrame = {
+    val wLag = Window.partitionBy(key).orderBy(order: _*)
+    val prev = lag(ts, 1).over(wLag)
+    // ntz-safe epoch seconds (TIMESTAMP_NTZ has no direct long cast)
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    val opens = when(prev.isNull ||
+      secs(ts) - secs(prev) > gapSec, 1L).otherwise(0L)
+    val wRun = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_new", opens)
+      .withColumn("_sess", sum(col("_new")).over(wRun))
+      .groupBy(key.as("key"), col("_sess").as("session"))
+      .agg(count(lit(1)).as("n"),
+        min(ts).as("first_ts"), max(ts).as("last_ts"),
+        round(sum(value), 2).as("sum_v"),
+        (max(ts).cast("timestamp").cast("long") -
+          min(ts).cast("timestamp").cast("long")).as("duration_s"))
+  }
+
   /** Multiline aggregation (reference: file source `multiline` mode,
     * src/sources/file.rs:64-245 — continuation lines are appended to the
     * record opened by the last start-marker line). Batch analog of

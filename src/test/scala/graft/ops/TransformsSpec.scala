@@ -1,0 +1,39 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("sessionizeByGap: sessions split exactly where the idle gap exceeds the threshold") {
+    // key A: rows at 0s, 100s, 2000s (gap 1900 > 1800 → new session), 2100s
+    // key B: single row
+    val df = Seq(
+      ("A", ts(0), 1L, 1.0), ("A", ts(100), 2L, 2.0),
+      ("A", ts(2000), 3L, 4.0), ("A", ts(2100), 4L, 8.0),
+      ("B", ts(50), 5L, 16.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Transforms.sessionizeByGap(df, col("k"), col("ts"),
+      Seq(col("ts"), col("id")), gapSec = 1800, col("v"))
+      .select("key", "session", "n", "sum_v", "duration_s")
+      .as[(String, Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("A", 1L, 2L, 3.0, 100L),
+      ("A", 2L, 2L, 12.0, 100L),
+      ("B", 1L, 1L, 16.0, 0L)))
+  }
+
+  test("sessionizeByGap: a gap of exactly gapSec does NOT split (strict >)") {
+    val df = Seq(("A", ts(0), 1L, 1.0), ("A", ts(1800), 2L, 2.0))
+      .toDF("k", "ts", "id", "v")
+    val out = Transforms.sessionizeByGap(df, col("k"), col("ts"),
+      Seq(col("ts"), col("id")), gapSec = 1800, col("v"))
+    assert(out.count() === 1)
+  }
+}
