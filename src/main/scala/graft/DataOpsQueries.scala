@@ -258,6 +258,16 @@ object DataOpsQueries {
         col("lang") === "en")
     }),
 
+    // ---- log-template mining (Drain masking core over synthesized log
+    //      lines: event_type + ids + an IP + a hex request id) ----
+    "t_log_templates" -> ((s, dir) => {
+      val msg = concat(col("event_type"), lit(" user="), col("user_id"),
+        lit(" from 10."), pmod(col("user_id"), lit(5)),
+        lit("."), pmod(col("event_id"), lit(256)), lit(".9 req="),
+        substring(md5(col("event_id").cast("string")), 1, 12))
+      TextOps.logTemplates(Tables.events(s, dir), msg, topK = 10)
+    }),
+
     // ---- corpus datasheet card (one-row release audit: totals, dup rate,
     //      quality pass rate, dominant language — all integer/ppm) ----
     "t_corpus_card" -> ((s, dir) => {
@@ -949,6 +959,21 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "t_log_templates" ->
+      """WITH m AS (
+        |  SELECT event_type || ' user=' || user_id || ' from 10.' ||
+        |         (user_id % 5) || '.' || (event_id % 256) || '.9 req=' ||
+        |         substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS msg
+        |  FROM events),
+        |t AS (
+        |  SELECT regexp_replace(regexp_replace(regexp_replace(msg,
+        |           '\d+\.\d+\.\d+\.\d+', '<IP>', 'g'),
+        |           '[0-9a-f]{12,}', '<HEX>', 'g'),
+        |           '\d+', '<N>', 'g') AS template, msg
+        |  FROM m)
+        |SELECT template, count(*) AS n, min(msg) AS example
+        |FROM t GROUP BY template ORDER BY n DESC, template LIMIT 10""".stripMargin,
 
     // corpus-card twin: same totals, md5 distinct, the t_text_quality keep
     // expression, and a QUALIFY top-1 language cross-joined on.

@@ -438,6 +438,32 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Log-template mining — the "Log Patterns" view every log platform
+    * ships (Drain's fixed-depth clustering, He et al. 2017, reduced to its
+    * deterministic masking core): variable fields (IPs, long hex ids,
+    * numbers) are masked to typed placeholders and identical skeletons
+    * group into one template with a count and an example line.
+    *
+    * Scale shape: a narrow codegen'd regexp chain (no UDF, masking order
+    * IP → hex → number so sub-patterns never re-match inside earlier
+    * placeholders) → ONE map-side-combinable hash aggregate on the
+    * template (cardinality = distinct templates, tiny vs the corpus) →
+    * `TakeOrderedAndProject` top-k. The corpus never shuffles — only
+    * template rows do.
+    */
+  def logTemplates(df: DataFrame, message: Column, topK: Int = 20): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(message, "\\d+\\.\\d+\\.\\d+\\.\\d+", "<IP>"),
+        "[0-9a-f]{12,}", "<HEX>"),
+      "\\d+", "<N>")
+    df.select(masked.as("template"), message.as("_msg"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"), min(col("_msg")).as("example"))
+      .orderBy(desc("n"), col("template"))
+      .limit(topK)
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): re-weight a raw corpus toward a target
     * distribution using hashed bag-of-ngram language models, then draw a

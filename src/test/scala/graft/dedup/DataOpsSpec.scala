@@ -759,6 +759,28 @@ class DataOpsSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("logTemplates: masking order and grouping — IPs, hex ids, numbers") {
+    val lines = Seq(
+      "GET /api/v2/users/123 from 10.0.0.1 req=deadbeefcafe took 45ms",
+      "GET /api/v2/users/999 from 192.168.7.13 req=0123456789ab took 9ms",
+      // all-digit 12-char run: must mask as HEX (matched before \d+)
+      "GET /api/v2/users/4 from 10.1.2.3 req=123456789012 took 1ms",
+      "POST /login ok")
+    val out = TextOps.logTemplates(lines.toDF("msg"), col("msg"), topK = 5)
+      .select("template", "n").as[(String, Long)].collect().toMap
+    assert(out === Map(
+      "GET /api/v<N>/users/<N> from <IP> req=<HEX> took <N>ms" -> 3L,
+      "POST /login ok" -> 1L))
+  }
+
+  test("logTemplates: corpus never shuffles — agg is map-side combinable on template") {
+    val df = TextOps.logTemplates(
+      (1 to 100).map(i => s"evt $i from 10.0.0.$i").toDF("msg"), col("msg"), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("dsir: target-like docs outweigh raw-typical ones; exactly k kept; lr broadcasts") {
     // target slice (id < 10) speaks vocabulary A; the rest vocabulary B.
     // A held-out A-pure doc must weigh higher than a B-pure doc.
