@@ -79,6 +79,14 @@ object TransformVariantQueries {
         Seq(col("ts"), col("event_id")), gapSec = 1800, round(col("value"), 2))
     }),
 
+    // ---- first-touch funnel: signup → click → purchase ----
+    "v_funnel" -> ((s, dir) => {
+      Transforms.funnel(ev(s, dir), col("user_id"), col("ts"), Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+    }),
+
     // ---- reduce max_events flush (reduce/config.rs) ----
     "v_reduce_max_events" -> ((s, dir) => {
       Transforms.reduceMaxEvents(ev(s, dir), Seq(col("user_id")), col("ts"),
@@ -278,6 +286,19 @@ object TransformVariantQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session
         |  FROM events)
         |GROUP BY user_id, session""".stripMargin,
+
+    "v_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id AS key,
+        |         min(CASE WHEN event_type='signup' THEN ts END) AS s1,
+        |         min(CASE WHEN event_type='click' THEN ts END) AS s2,
+        |         min(CASE WHEN event_type='purchase' THEN ts END) AS s3
+        |  FROM events GROUP BY user_id)
+        |SELECT key, s1 AS t_signup,
+        |  CASE WHEN s1 IS NOT NULL AND s2 > s1 THEN s2 END AS t_click,
+        |  CASE WHEN s1 IS NOT NULL AND s2 > s1
+        |        AND s3 > s2 THEN s3 END AS t_purchase
+        |FROM f""".stripMargin,
 
     "v_sessionize_gap" ->
       """SELECT user_id AS key, CAST(session AS BIGINT) AS session, count(*) AS n,

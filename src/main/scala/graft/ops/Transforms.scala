@@ -329,6 +329,39 @@ object Transforms {
           min(ts).cast("timestamp").cast("long")).as("duration_s"))
   }
 
+  /** First-touch event funnel — per key, the FIRST occurrence time of each
+    * named step, kept left-to-right only while those first occurrences are
+    * strictly ordered (the first-touch conversion funnel over event logs;
+    * the stricter "next occurrence after the previous step" variant needs
+    * a per-key ordered scan — use the reduce/session family for that).
+    *
+    * ONE hash aggregate: conditional `min(ts)` per step (map-side
+    * combinable — each partition folds its own rows, merge is min), then
+    * a narrow projection nulls out-of-order steps left-to-right. No
+    * window, no self-join (the naive k-way self-join on a 10^12-row log
+    * is k shuffles of the full table; this is one).
+    */
+  def funnel(df: DataFrame, key: Column, ts: Column,
+             steps: Seq[(String, Column)]): DataFrame = {
+    val agged = df.groupBy(key.as("key"))
+      .agg(steps.map { case (name, cond) =>
+        min(when(cond, ts)).as(s"_t_$name")
+      }.head, steps.tail.map { case (name, cond) =>
+        min(when(cond, ts)).as(s"_t_$name")
+      }: _*)
+    // left-to-right: step i survives only if its ts > step i-1's kept ts
+    val kept = steps.zipWithIndex.foldLeft(agged) {
+      case (d, ((name, _), 0)) =>
+        d.withColumn(s"t_$name", col(s"_t_$name"))
+      case (d, ((name, _), i)) =>
+        val prev = s"t_${steps(i - 1)._1}"
+        d.withColumn(s"t_$name",
+          when(col(prev).isNotNull && col(s"_t_$name") > col(prev),
+            col(s"_t_$name")))
+    }
+    kept.select(col("key") +: steps.map { case (n, _) => col(s"t_$n") }: _*)
+  }
+
   /** Multiline aggregation (reference: file source `multiline` mode,
     * src/sources/file.rs:64-245 — continuation lines are appended to the
     * record opened by the last start-marker line). Batch analog of

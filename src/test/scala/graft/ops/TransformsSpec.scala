@@ -29,6 +29,23 @@ class TransformsSpec extends SparkSpec {
       ("B", 1L, 1L, 16.0, 0L)))
   }
 
+  test("funnel: left-to-right strict ordering of first occurrences") {
+    val df = Seq(
+      ("u1", ts(0), "a"), ("u1", ts(10), "b"), ("u1", ts(20), "c"), // full funnel
+      ("u2", ts(10), "b"), ("u2", ts(20), "a"),                     // b before a → stops at a
+      ("u3", ts(0), "a"), ("u3", ts(0), "b"),                       // tie is NOT strictly after
+      ("u4", ts(5), "c")                                            // never entered
+    ).toDF("k", "ts", "e")
+    val out = Transforms.funnel(df, col("k"), col("ts"), Seq(
+      "a" -> (col("e") === "a"), "b" -> (col("e") === "b"), "c" -> (col("e") === "c")))
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(out("u1") === ((false, false, false)))
+    assert(out("u2") === ((false, true, true)))  // a found, b's first occ precedes it
+    assert(out("u3") === ((false, true, true)))  // equal ts: strict > fails
+    assert(out("u4") === ((true, true, true)))
+  }
+
   test("sessionizeByGap: a gap of exactly gapSec does NOT split (strict >)") {
     val df = Seq(("A", ts(0), 1L, 1.0), ("A", ts(1800), 2L, 2.0))
       .toDF("k", "ts", "id", "v")
