@@ -87,6 +87,11 @@ object TransformVariantQueries {
         "purchase" -> (col("event_type") === "purchase")))
     }),
 
+    // ---- robust MAD anomaly flags over hourly per-type ingest counts ----
+    "v_anomaly_mad" -> ((s, dir) => {
+      Transforms.anomalyMad(ev(s, dir), col("event_type"), col("ts"), "hour")
+    }),
+
     // ---- reduce max_events flush (reduce/config.rs) ----
     "v_reduce_max_events" -> ((s, dir) => {
       Transforms.reduceMaxEvents(ev(s, dir), Seq(col("user_id")), col("ts"),
@@ -286,6 +291,21 @@ object TransformVariantQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session
         |  FROM events)
         |GROUP BY user_id, session""".stripMargin,
+
+    "v_anomaly_mad" ->
+      """WITH c AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS window_start,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT series, median(CAST(n AS DOUBLE)) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.series, c.window_start, c.n, m.med,
+        |             abs(c.n - m.med) AS dev
+        |      FROM c JOIN m USING(series)),
+        |md AS (SELECT series, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.series, d.window_start, d.n,
+        |       round(d.med, 2) AS med, round(md.mad, 2) AS mad,
+        |       (d.dev > 3.0 * md.mad) AS is_anomaly
+        |FROM d JOIN md USING(series)""".stripMargin,
 
     "v_funnel" ->
       """WITH f AS (

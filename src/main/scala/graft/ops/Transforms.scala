@@ -362,6 +362,35 @@ object Transforms {
     kept.select(col("key") +: steps.map { case (n, _) => col(s"t_$n") }: _*)
   }
 
+  /** Robust series anomaly flags — per (series, time-bucket) event counts
+    * judged against the series' own median via MAD (median absolute
+    * deviation): a bucket is anomalous when |n − median| > k·MAD. The
+    * median/MAD pair is the robust z-score every log-monitoring stack
+    * runs on ingest volumes (outlier-proof where mean/stddev is not).
+    *
+    * Scale shape: the corpus collapses FIRST into the (series, bucket)
+    * count table — one map-side-combinable shuffle, output cardinality =
+    * series × buckets, tiny vs the log. Both median passes and the flag
+    * run on that table with broadcast joins back. The classic MAD caveat
+    * holds: a series with MAD = 0 flags every deviating bucket.
+    */
+  def anomalyMad(df: DataFrame, series: Column, ts: Column, bucket: String,
+                 k: Double = 3.0): DataFrame = {
+    val counts = df.groupBy(series.as("series"),
+      date_trunc(bucket, ts).as("window_start"))
+      .agg(count(lit(1)).as("n"))
+    val med = counts.groupBy(col("series"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = counts.join(broadcast(med), "series")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("series"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "series")
+      .select(col("series"), col("window_start"), col("n"),
+        round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+        (col("dev") > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
   /** Multiline aggregation (reference: file source `multiline` mode,
     * src/sources/file.rs:64-245 — continuation lines are appended to the
     * record opened by the last start-marker line). Batch analog of

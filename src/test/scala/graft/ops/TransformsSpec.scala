@@ -46,6 +46,20 @@ class TransformsSpec extends SparkSpec {
     assert(out("u4") === ((true, true, true)))
   }
 
+  test("anomalyMad: flags exactly the spiked bucket; robust to the spike itself") {
+    // series X: 9 calm hours at ~10 events, 1 spiked hour at 60
+    val rows = (0 until 10).flatMap { h =>
+      val n = if (h == 7) 60 else 10 + (h % 3) // 10/11/12 background
+      (0 until n).map(i => ("X", ts(h * 3600L + i), i.toLong))
+    }
+    val out = Transforms.anomalyMad(rows.toDF("e", "ts", "id"),
+      col("e"), col("ts"), "hour")
+      .select("n", "is_anomaly").as[(Long, Boolean)].collect()
+    assert(out.length === 10)
+    val flagged = out.filter(_._2)
+    assert(flagged.toSeq === Seq((60L, true)), s"flags: ${flagged.toSeq}")
+  }
+
   test("sessionizeByGap: a gap of exactly gapSec does NOT split (strict >)") {
     val df = Seq(("A", ts(0), 1L, 1.0), ("A", ts(1800), 2L, 2.0))
       .toDF("k", "ts", "id", "v")
