@@ -467,6 +467,18 @@ object DataOpsQueries {
         shiftright(zv, 24).as("cell"))
     }),
 
+    // ---- small-file compaction planner (Iceberg rewrite_data_files /
+    //      Delta OPTIMIZE bin packing) over a derived file inventory ----
+    "p_compaction_plan" -> ((s, dir) => {
+      val inv = Tables.events(s, dir)
+        .groupBy(col("event_type").as("p"),
+          concat(lit("f"), lpad(pmod(col("event_id"), lit(200)).cast("string"),
+            3, "0")).as("f"))
+        .agg((count(lit(1)) * 517L).as("b"))
+      graft.ops.Layout.compactionGroups(inv, col("p"), col("f"), col("b"),
+        targetBytes = 15000L)
+    }),
+
     // ---- HyperLogLog distinct-count sketch (mergeable max-register
     //      aggregate; constant shuffle vs count(distinct)'s key-keyed
     //      shuffle; exact count alongside = the accuracy audit) ----
@@ -1286,6 +1298,19 @@ object DataOpsQueries {
          |  CAST(min(cells.c) AS BIGINT) AS est_n
          |FROM cand JOIN cells USING (j, pos)
          |GROUP BY cand.t, cand.n""".stripMargin,
+
+    "p_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT event_type AS part,
+        |         'f' || lpad(CAST(event_id % 200 AS VARCHAR), 3, '0') AS file,
+        |         count(*) * 517 AS bytes
+        |  FROM events GROUP BY 1, 2)
+        |SELECT part, file, CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(coalesce(sum(bytes) OVER (PARTITION BY part
+        |         ORDER BY bytes DESC, file
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       // 15000 AS BIGINT) AS grp
+        |FROM inv""".stripMargin,
 
     // Z-order twin: the same bit interleave as integer arithmetic —
     // bit i of x at position 2i, bit i of y at 2i+1.

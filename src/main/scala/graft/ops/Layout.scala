@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators — the data-skipping levers that matter at
@@ -56,5 +57,30 @@ object Layout {
     withZ.repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+  }
+
+  /** Small-file compaction planner — the table-maintenance pass every
+    * lakehouse runs (Iceberg `rewrite_data_files` / Delta `OPTIMIZE` bin
+    * packing): assign each data file to a merge group so group sizes land
+    * near `targetBytes`.
+    *
+    * Deterministic distributed analog of sequential first-fit: within each
+    * table partition, files order by (bytes DESC, name) and group id =
+    * `floor(exclusive-cumsum(bytes) / targetBytes)` — one window over the
+    * FILE INVENTORY (metadata-sized: rows = files, never data), so the
+    * plan costs nothing at 100 TB and each group's total is ≤ targetBytes
+    * + one file (the bounded overshoot of next-fit; descending order puts
+    * big files first so the tail groups pack the small ones). Files
+    * already ≥ targetBytes get their own group by construction.
+    */
+  def compactionGroups(files: DataFrame, part: Column, file: Column,
+                       bytes: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val w = Window.partitionBy(col("part")).orderBy(col("bytes").desc, col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(part.as("part"), file.as("file"), bytes.as("bytes"))
+      .withColumn("_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("grp", floor(col("_before") / targetBytes.toDouble).cast("long"))
+      .drop("_before")
   }
 }

@@ -67,4 +67,29 @@ class LayoutSpec extends SparkSpec {
     val xs = spans(df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")))
     assert(xs.forall { case (_, sy) => sy == 127 }, s"x-sort spans: $xs")
   }
+
+  test("compactionGroups: bounded overshoot and own-group law for huge files") {
+    // partition A: one 10 MB file + twenty 1 MB files; target 4 MB
+    val mb = 1000000L
+    val files = (("A", "big", 10 * mb) +:
+      (1 to 20).map(i => ("A", f"s$i%02d", mb))) :+ (("B", "only", mb))
+    val out = Layout.compactionGroups(files.toDF("p", "f", "b"),
+      col("p"), col("f"), col("b"), targetBytes = 4 * mb)
+      .select("part", "file", "bytes", "grp")
+      .as[(String, String, Long, Long)].collect()
+    val byGroup = out.filter(_._1 == "A").groupBy(_._4).view
+      .mapValues(_.map(_._3).sum).toMap
+    // the 10 MB file sorts first → exclusive cumsum 0 → group 0; nothing
+    // else joins group 0 or 1 (its cumsum already covers them)
+    val bigGrp = out.find(_._2 == "big").get._4
+    assert(bigGrp === 0L)
+    assert(byGroup(0L) === 10 * mb, s"big file must own its group: $byGroup")
+    // every other group's total ≤ target + one file (bounded overshoot)
+    byGroup.filterKeys(_ != 0L).foreach { case (g, tot) =>
+      assert(tot <= 5 * mb, s"group $g total $tot")
+    }
+    // totals conserved; partition B independent
+    assert(byGroup.values.sum === 30 * mb)
+    assert(out.filter(_._1 == "B").map(_._4).toSeq === Seq(0L))
+  }
 }
