@@ -268,6 +268,13 @@ object DataOpsQueries {
       TextOps.logTemplates(Tables.events(s, dir), msg, topK = 10)
     }),
 
+    // ---- per-source score calibration: exact percent-rank + curriculum
+    //      bucket via the score-table cumsum (never a corpus-wide window) ----
+    "t_score_calibrate" -> ((s, dir) => {
+      TextOps.scoreCalibrate(Tables.documents(s, dir), col("doc_id"),
+        col("source"), length(col("text")), buckets = 10)
+    }),
+
     // ---- corpus datasheet card (one-row release audit: totals, dup rate,
     //      quality pass rate, dominant language — all integer/ppm) ----
     "t_corpus_card" -> ((s, dir) => {
@@ -971,6 +978,24 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "t_score_calibrate" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(length(text) AS INT) AS score
+        |  FROM documents),
+        |c AS (SELECT source, score, count(*) AS n FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, score,
+        |         coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |         sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM c)
+        |SELECT b.doc_id, b.source, b.score,
+        |       round(CASE WHEN cum.tot > 1
+        |             THEN CAST(cum.below AS DOUBLE) / (cum.tot - 1)
+        |             ELSE 0.0 END, 6) AS pct_rank,
+        |       CAST(cum.below * 10 // cum.tot AS BIGINT) AS bucket
+        |FROM base b JOIN cum ON b.source = cum.source AND b.score = cum.score""".stripMargin,
 
     "t_log_templates" ->
       """WITH m AS (

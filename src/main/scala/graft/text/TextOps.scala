@@ -438,6 +438,42 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Per-source score calibration — exact percent-rank and curriculum
+    * bucket for every document WITHOUT a corpus-wide window (a window
+    * partitioned by `source` serializes each source's billions of rows
+    * through one task at 100 TB).
+    *
+    * Two-pass exact rank instead: (1) one map-side-combinable count per
+    * (source, score) — output is the SCORE TABLE, rows = distinct scores
+    * per source, tiny when scores are discretized (lengths, ppm-scaled
+    * classifier outputs); (2) exclusive cumsum over that table per
+    * source; (3) broadcast join back — every row learns how many of its
+    * source's rows score strictly below it. `pct_rank` follows SQL
+    * percent_rank tie semantics (ties take the min rank);
+    * `bucket = below·buckets div total` puts equal scores in equal
+    * buckets (the curriculum-correct tie policy, unlike ntile's arbitrary
+    * tie split).
+    */
+  def scoreCalibrate(df: DataFrame, id: Column, source: Column, score: Column,
+                     buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val base = df.select(id.as("doc_id"), source.as("source"), score.as("score"))
+    val wBelow = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("source"))
+    val cum = base.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("below", coalesce(sum(col("n")).over(wBelow), lit(0L)))
+      .withColumn("tot", sum(col("n")).over(wTot))
+      .select(col("source"), col("score"), col("below"), col("tot"))
+    base.join(broadcast(cum), Seq("source", "score"))
+      .select(col("doc_id"), col("source"), col("score"),
+        round(when(col("tot") > 1,
+          col("below").cast("double") / (col("tot") - 1)).otherwise(0.0), 6)
+          .as("pct_rank"),
+        expr(s"below * $buckets div tot").as("bucket"))
+  }
+
   /** Log-template mining — the "Log Patterns" view every log platform
     * ships (Drain's fixed-depth clustering, He et al. 2017, reduced to its
     * deterministic masking core): variable fields (IPs, long hex ids,

@@ -759,6 +759,29 @@ class DataOpsSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("scoreCalibrate: matches percent_rank window semantics; ties share buckets") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = (0L until 200L).map(i => (i, s"s${i % 3}", (i * 7 % 23).toInt))
+      .toDF("doc_id", "source", "sc")
+    val out = TextOps.scoreCalibrate(docs, col("doc_id"), col("source"),
+      col("sc"), buckets = 4)
+      .select("doc_id", "pct_rank", "bucket")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent recompute with Spark's own percent_rank window
+    val ref = docs.withColumn("pr",
+      round(percent_rank().over(W.partitionBy("source").orderBy("sc")), 6))
+      .select("doc_id", "pr").as[(Long, Double)].collect().toMap
+    ref.foreach { case (id, pr) =>
+      assert(out(id)._1 === pr, s"doc $id: ${out(id)._1} vs window $pr")
+    }
+    // equal (source, score) → equal bucket, and buckets stay in [0, 4)
+    val byKey = (0L until 200L).groupBy(i => (i % 3, i * 7 % 23))
+    byKey.values.foreach { ids =>
+      assert(ids.map(out(_)._2).toSet.size === 1, s"tie split: $ids")
+    }
+    assert(out.values.forall(v => v._2 >= 0 && v._2 < 4))
+  }
+
   test("logTemplates: masking order and grouping — IPs, hex ids, numbers") {
     val lines = Seq(
       "GET /api/v2/users/123 from 10.0.0.1 req=deadbeefcafe took 45ms",
