@@ -92,6 +92,11 @@ object TransformVariantQueries {
       Transforms.anomalyMad(ev(s, dir), col("event_type"), col("ts"), "hour")
     }),
 
+    // ---- cohort retention matrix: first-day cohorts × active days ----
+    "v_cohort_retention" -> ((s, dir) => {
+      Transforms.cohortRetention(ev(s, dir), col("user_id"), col("ts"), "day")
+    }),
+
     // ---- reduce max_events flush (reduce/config.rs) ----
     "v_reduce_max_events" -> ((s, dir) => {
       Transforms.reduceMaxEvents(ev(s, dir), Seq(col("user_id")), col("ts"),
@@ -291,6 +296,13 @@ object TransformVariantQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session
         |  FROM events)
         |GROUP BY user_id, session""".stripMargin,
+
+    "v_cohort_retention" ->
+      """WITH e AS (SELECT user_id AS key, date_trunc('day', ts) AS b FROM events),
+        |c AS (SELECT key, min(b) AS cohort FROM e GROUP BY key)
+        |SELECT c.cohort, e.b AS period, count(DISTINCT e.key) AS n_active
+        |FROM e JOIN c ON e.key = c.key
+        |GROUP BY c.cohort, e.b""".stripMargin,
 
     "v_anomaly_mad" ->
       """WITH c AS (

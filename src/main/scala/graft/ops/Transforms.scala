@@ -391,6 +391,28 @@ object Transforms {
         (col("dev") > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** Cohort retention matrix — users grouped by the bucket of their FIRST
+    * event (the cohort), counted distinct in every later bucket they
+    * reappear in; the (cohort, period) activity matrix behind every
+    * retention curve.
+    *
+    * Scale shape: pass 1 computes each key's cohort with a
+    * map-side-combinable `min` (one shuffle on the key); pass 2 counts
+    * distinct keys per (cohort, activity-bucket) — Spark plans
+    * count-distinct as a two-phase partial/final aggregate, and the
+    * matrix output is bucket² rows, metadata-sized. The key's cohort
+    * rides along from pass 1 via the same-key join (co-partitioned with
+    * pass 1's shuffle — AQE reuses the exchange).
+    */
+  def cohortRetention(df: DataFrame, key: Column, ts: Column,
+                      bucket: String): DataFrame = {
+    val events = df.select(key.as("key"), date_trunc(bucket, ts).as("b"))
+    val cohorts = events.groupBy(col("key")).agg(min(col("b")).as("cohort"))
+    events.join(cohorts, "key")
+      .groupBy(col("cohort"), col("b").as("period"))
+      .agg(countDistinct(col("key")).cast("long").as("n_active"))
+  }
+
   /** Multiline aggregation (reference: file source `multiline` mode,
     * src/sources/file.rs:64-245 — continuation lines are appended to the
     * record opened by the last start-marker line). Batch analog of

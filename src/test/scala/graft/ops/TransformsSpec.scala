@@ -60,6 +60,26 @@ class TransformsSpec extends SparkSpec {
     assert(flagged.toSeq === Seq((60L, true)), s"flags: ${flagged.toSeq}")
   }
 
+  test("cohortRetention: first-bucket cohorts, later activity counted distinct") {
+    val day = 86400L
+    val df = Seq(
+      ("u1", ts(0)), ("u1", ts(10)),          // day 0 cohort, active day 0 only
+      ("u1", ts(2 * day)),                    // ... and day 2
+      ("u2", ts(day)), ("u2", ts(2 * day)),   // day 1 cohort
+      ("u3", ts(0))                           // day 0 cohort, day 0 only
+    ).toDF("k", "ts")
+    val out = Transforms.cohortRetention(df, col("k"), col("ts"), "day")
+      .select("cohort", "period", "n_active")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1.getTime, r._2.getTime, r._3)).toSet
+    val d0 = ts(0).getTime / (day * 1000) * (day * 1000)
+    assert(out === Set(
+      (d0, d0, 2L),                       // u1+u3 on their cohort day
+      (d0, d0 + 2 * day * 1000, 1L),      // u1 returns day 2
+      (d0 + day * 1000, d0 + day * 1000, 1L),
+      (d0 + day * 1000, d0 + 2 * day * 1000, 1L)))
+  }
+
   test("sessionizeByGap: a gap of exactly gapSec does NOT split (strict >)") {
     val df = Seq(("A", ts(0), 1L, 1.0), ("A", ts(1800), 2L, 2.0))
       .toDF("k", "ts", "id", "v")
