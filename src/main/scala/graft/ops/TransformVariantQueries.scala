@@ -92,6 +92,12 @@ object TransformVariantQueries {
       Transforms.anomalyMad(ev(s, dir), col("event_type"), col("ts"), "hour")
     }),
 
+    // ---- trailing sliding-window rate (throttle audit view) ----
+    "v_sliding_rate" -> ((s, dir) => {
+      Transforms.slidingRate(ev(s, dir), col("user_id"), col("ts"), 3600L)
+        .select(col("event_id"), col("user_id"), col("rate_n"))
+    }),
+
     // ---- cohort retention matrix: first-day cohorts × active days ----
     "v_cohort_retention" -> ((s, dir) => {
       Transforms.cohortRetention(ev(s, dir), col("user_id"), col("ts"), "day")
@@ -296,6 +302,13 @@ object TransformVariantQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session
         |  FROM events)
         |GROUP BY user_id, session""".stripMargin,
+
+    "v_sliding_rate" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rate_n
+        |FROM events""".stripMargin,
 
     "v_cohort_retention" ->
       """WITH e AS (SELECT user_id AS key, date_trunc('day', ts) AS b FROM events),

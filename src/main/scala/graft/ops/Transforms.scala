@@ -413,6 +413,27 @@ object Transforms {
       .agg(countDistinct(col("key")).cast("long").as("n_active"))
   }
 
+  /** Trailing sliding-window rate — for every event, how many same-key
+    * events (itself included) fall in the trailing `windowSec` seconds:
+    * the exact quantity a GCRA throttle consults (reference:
+    * src/transforms/throttle/transform.rs:42-67 enforces it online; this
+    * is the batch audit view, e.g. "how close did each tenant run to its
+    * limit").
+    *
+    * A RANGE-frame window over integer epoch seconds — per key one
+    * shuffle, partition-local ordered scan, O(1) frame updates (Spark's
+    * range frame slides two pointers; it never re-counts). Ties within a
+    * second are frame-symmetric, so the count is order-independent and
+    * cross-engine deterministic.
+    */
+  def slidingRate(df: DataFrame, key: Column, ts: Column,
+                  windowSec: Long): DataFrame = {
+    val sec = ts.cast("timestamp").cast("long")
+    val w = Window.partitionBy(key).orderBy(sec)
+      .rangeBetween(-windowSec, 0)
+    df.withColumn("rate_n", count(lit(1)).over(w))
+  }
+
   /** Multiline aggregation (reference: file source `multiline` mode,
     * src/sources/file.rs:64-245 — continuation lines are appended to the
     * record opened by the last start-marker line). Batch analog of

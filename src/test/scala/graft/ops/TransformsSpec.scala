@@ -60,6 +60,18 @@ class TransformsSpec extends SparkSpec {
     assert(flagged.toSeq === Seq((60L, true)), s"flags: ${flagged.toSeq}")
   }
 
+  test("slidingRate: trailing inclusive frame, boundary at exactly windowSec in") {
+    val df = Seq(
+      ("A", ts(0), 1L), ("A", ts(100), 2L),
+      ("A", ts(3600), 3L),  // 3600s after t0: still IN t0's 3600 trailing frame
+      ("A", ts(3701), 4L),  // t=100+3601: 100 drops out, 3600 stays
+      ("B", ts(0), 5L)
+    ).toDF("k", "ts", "id")
+    val out = Transforms.slidingRate(df, col("k"), col("ts"), 3600L)
+      .select("id", "rate_n").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("cohortRetention: first-bucket cohorts, later activity counted distinct") {
     val day = 86400L
     val df = Seq(
