@@ -275,6 +275,14 @@ object DataOpsQueries {
         col("source"), length(col("text")), buckets = 10)
     }),
 
+    // ---- inverted index: token → df + capped sorted posting list ----
+    "t_inverted_index" -> ((s, dir) => {
+      TextOps.invertedIndex(Tables.documents(s, dir), col("text"),
+        col("doc_id"), minDf = 2, maxPostings = 20)
+        .select(col("token"), col("df"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"))
+    }),
+
     // ---- corpus datasheet card (one-row release audit: totals, dup rate,
     //      quality pass rate, dominant language — all integer/ppm) ----
     "t_corpus_card" -> ((s, dir) => {
@@ -978,6 +986,17 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "t_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, token FROM tok),
+        |agg AS (
+        |  SELECT token, count(*) AS df,
+        |         list_slice(list_sort(list(doc_id)), 1, 20) AS plist
+        |  FROM pairs GROUP BY token)
+        |SELECT token, df, array_to_string(plist, ',') AS postings
+        |FROM agg WHERE df >= 2""".stripMargin,
 
     "t_score_calibrate" ->
       """WITH base AS (

@@ -474,6 +474,37 @@ object TextOps {
         expr(s"below * $buckets div tot").as("bucket"))
   }
 
+  /** Inverted index build — token → capped, sorted posting list + document
+    * frequency: the artifact behind log search (and the exact shape BM25's
+    * df table extends). One explode to distinct (token, doc) pairs → one
+    * shuffle on token → per-token sort + cap.
+    *
+    * Scale levers, both explicit because posting lists are the classic
+    * reducer hot spot: `minDf` drops hapax noise and `maxPostings` caps
+    * each list at the `maxPostings` SMALLEST doc ids — and the cap is
+    * enforced BEFORE `collect_list`, via a rank filter on the shuffled
+    * pairs, so no aggregation buffer ever holds a stop-word's
+    * corpus-sized postings (a post-collect `slice` would). The rank pass
+    * and the collect share the token partitioning — one shuffle, the
+    * second exchange is reused. `df` reports the TRUE document frequency
+    * (counted pre-cap); the capped list is deterministic at any
+    * parallelism because the cut is by doc-id order, not arrival.
+    */
+  def invertedIndex(df: DataFrame, text: Column, id: Column,
+                    minDf: Long = 2, maxPostings: Int = 1000): DataFrame = {
+    val pairs = df.select(id.as("doc_id"),
+      explode(array_distinct(words(text))).as("token"))
+    val wTok = Window.partitionBy(col("token"))
+    val wRank = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    pairs
+      .withColumn("df", count(lit(1)).over(wTok))
+      .withColumn("_rn", row_number().over(wRank))
+      .filter(col("_rn") <= maxPostings && col("df") >= minDf)
+      .groupBy(col("token"))
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
   /** Log-template mining — the "Log Patterns" view every log platform
     * ships (Drain's fixed-depth clustering, He et al. 2017, reduced to its
     * deterministic masking core): variable fields (IPs, long hex ids,

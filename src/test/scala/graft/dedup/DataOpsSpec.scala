@@ -782,6 +782,26 @@ class DataOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v._2 >= 0 && v._2 < 4))
   }
 
+  test("invertedIndex: true df, smallest-ids cap, minDf gate, parallelism-invariant") {
+    // token "common" in 30 docs, "rare" in 2, "hapax" in 1
+    val docs = (0L until 30L).map { i =>
+      val extra = if (i < 2) " rare" else ""
+      val h = if (i == 5) " hapax" else ""
+      (i, s"common$extra$h")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = TextOps.invertedIndex(
+      docs.repartition(parts), col("text"), col("doc_id"),
+      minDf = 2, maxPostings = 10)
+      .select("token", "df", "postings")
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val out = run(4)
+    assert(out.keySet === Set("common", "rare")) // hapax gated by minDf
+    assert(out("common")._1 === 30L)             // TRUE df despite the cap
+    assert(out("common")._2 === (0L until 10L))  // smallest 10 ids, sorted
+    assert(out("rare") === ((2L, Seq(0L, 1L))))
+    assert(run(1) === out)                       // cap is order-independent
+  }
+
   test("logTemplates: masking order and grouping — IPs, hex ids, numbers") {
     val lines = Seq(
       "GET /api/v2/users/123 from 10.0.0.1 req=deadbeefcafe took 45ms",
