@@ -98,6 +98,34 @@ object TransformVariantQueries {
         .select(col("event_id"), col("user_id"), col("rate_n"))
     }),
 
+    // ---- rollup counters: the dashboard totals lattice in ONE pass ----
+    // (ROLLUP(event_type, lang-ish tag) — Spark plans a single Expand +
+    //  hash agg, each level map-side combinable; vs one query per level =
+    //  L full scans)
+    "v_rollup_counters" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("vtag",
+        when(col("value") >= 100, "hi").otherwise("lo"))
+      e.rollup(col("event_type"), col("vtag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(coalesce(col("event_type"), lit("_total")).as("event_type"),
+          coalesce(col("vtag"), lit("_total")).as("vtag"),
+          col("n"), col("sum_v"))
+    }),
+
+    // ---- top talkers per route: exact per-group top-k over the
+    //      pre-aggregated (group, key) count table ----
+    "v_top_talkers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("user_id"), col("n"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // ---- cohort retention matrix: first-day cohorts × active days ----
     "v_cohort_retention" -> ((s, dir) => {
       Transforms.cohortRetention(ev(s, dir), col("user_id"), col("ts"), "day")
@@ -309,6 +337,25 @@ object TransformVariantQueries {
         |   ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rate_n
         |FROM events""".stripMargin,
+
+    "v_rollup_counters" ->
+      """SELECT coalesce(event_type, '_total') AS event_type,
+        |       coalesce(vtag, '_total') AS vtag,
+        |       count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM (SELECT event_type,
+        |             CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS vtag,
+        |             value
+        |      FROM events)
+        |GROUP BY ROLLUP(event_type, vtag)""".stripMargin,
+
+    "v_top_talkers" ->
+      """SELECT event_type, user_id, n, rk FROM (
+        |  SELECT event_type, user_id, n,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY n DESC, user_id) AS rk
+        |  FROM (SELECT event_type, user_id, count(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rk <= 3""".stripMargin,
 
     "v_cohort_retention" ->
       """WITH e AS (SELECT user_id AS key, date_trunc('day', ts) AS b FROM events),
