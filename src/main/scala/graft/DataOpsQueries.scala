@@ -283,6 +283,13 @@ object DataOpsQueries {
           array_join(col("postings").cast("array<string>"), ",").as("postings"))
     }),
 
+    // ---- largest-remainder budget allocation (Hamilton's method):
+    //      per-source budgets that sum EXACTLY to the global budget ----
+    "p_budget_alloc" -> ((s, dir) => {
+      graft.tokens.TokenOps.allocateBudget(
+        Tables.documents(s, dir), col("source"), budget = 1000L)
+    }),
+
     // ---- corpus datasheet card (one-row release audit: totals, dup rate,
     //      quality pass rate, dominant language — all integer/ppm) ----
     "t_corpus_card" -> ((s, dir) => {
@@ -986,6 +993,20 @@ object DataOpsQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "p_budget_alloc" ->
+      """WITH w AS (SELECT source, count(*) AS w FROM documents GROUP BY 1),
+        |s AS (SELECT source, w, sum(w) OVER () AS tot FROM w),
+        |b AS (SELECT source, w,
+        |        (w * 1000) // tot AS base, (w * 1000) % tot AS rem,
+        |        1000 - sum((w * 1000) // tot) OVER () AS spare
+        |      FROM s),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |                AS BIGINT) AS rk FROM b)
+        |SELECT source, w,
+        |       CAST(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT)
+        |         AS budget
+        |FROM r""".stripMargin,
 
     "t_inverted_index" ->
       """WITH tok AS (

@@ -126,6 +126,19 @@ object TransformVariantQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // ---- level-shift change-point: binary segmentation per series ----
+    "v_change_point" -> ((s, dir) => {
+      Transforms.changePoint(ev(s, dir), col("event_type"), col("ts"), "hour")
+    }),
+
+    // ---- k-anonymity suppression on (event_type, value-decile) cells ----
+    "v_k_anonymize" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("vdec",
+        floor(col("value") / 20.0).cast("long"))
+      Transforms.kAnonymize(e, Seq("event_type", "vdec"), k = 10)
+        .select(col("event_id"), col("event_type"), col("vdec"))
+    }),
+
     // ---- cohort retention matrix: first-day cohorts × active days ----
     "v_cohort_retention" -> ((s, dir) => {
       Transforms.cohortRetention(ev(s, dir), col("user_id"), col("ts"), "day")
@@ -356,6 +369,43 @@ object TransformVariantQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS n
         |        FROM events GROUP BY 1, 2))
         |WHERE rk <= 3""".stripMargin,
+
+    "v_change_point" ->
+      """WITH c AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS b, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT series, b, n,
+        |    CAST(row_number() OVER (PARTITION BY series ORDER BY b) AS BIGINT) AS idx,
+        |    sum(n) OVER (PARTITION BY series ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY series) AS tot,
+        |    count(*) OVER (PARTITION BY series) AS cnt
+        |  FROM c),
+        |d AS (
+        |  SELECT series, b,
+        |    CAST(cum AS DOUBLE) / idx AS mean_left,
+        |    CAST(tot - cum AS DOUBLE) / (cnt - idx) AS mean_right,
+        |    abs(CAST(cum AS DOUBLE) / idx
+        |      - CAST(tot - cum AS DOUBLE) / (cnt - idx)) AS delta
+        |  FROM st WHERE idx < cnt),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY series
+        |        ORDER BY delta DESC, b) AS rk FROM d)
+        |SELECT series, b AS split_after,
+        |  round(mean_left + 1e-9, 4) AS mean_left,
+        |  round(mean_right + 1e-9, 4) AS mean_right,
+        |  round(delta + 1e-9, 4) AS delta
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "v_k_anonymize" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value / 20.0) AS BIGINT) AS vdec
+        |  FROM events),
+        |cells AS (SELECT event_type, vdec FROM e
+        |          GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT e.event_id, e.event_type, e.vdec
+        |FROM e JOIN cells USING (event_type, vdec)""".stripMargin,
 
     "v_cohort_retention" ->
       """WITH e AS (SELECT user_id AS key, date_trunc('day', ts) AS b FROM events),

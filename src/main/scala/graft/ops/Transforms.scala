@@ -434,6 +434,61 @@ object Transforms {
     df.withColumn("rate_n", count(lit(1)).over(w))
   }
 
+  /** Level-shift change-point — single binary segmentation over each
+    * series' bucket counts: the split maximizing |mean(left) − mean(right)|
+    * (the first step of the classic binary-segmentation change-point
+    * family; MAD flags spikes, this finds sustained shifts — "ingest
+    * volume stepped up at 14:00").
+    *
+    * Scale shape: the corpus collapses FIRST to (series, bucket) counts —
+    * one combinable shuffle; prefix sums, candidate split deltas, and the
+    * per-series argmax are windows over that metadata-sized table.
+    * Deterministic: integer prefix sums, IEEE-exact mean division, ties
+    * broken by bucket.
+    */
+  def changePoint(df: DataFrame, series: Column, ts: Column,
+                  bucket: String): DataFrame = {
+    val counts = df.groupBy(series.as("series"),
+      date_trunc(bucket, ts).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("b"))
+    val wAll = Window.partitionBy(col("series"))
+    val staged = counts
+      .withColumn("idx", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("idx") < col("cnt")) // split AFTER this bucket
+      .withColumn("mean_left", col("cum").cast("double") / col("idx"))
+      .withColumn("mean_right",
+        (col("tot") - col("cum")).cast("double") / (col("cnt") - col("idx")))
+      .withColumn("delta", abs(col("mean_left") - col("mean_right")))
+    val wBest = Window.partitionBy(col("series"))
+      .orderBy(col("delta").desc, col("b"))
+    staged.withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+      .select(col("series"), col("b").as("split_after"),
+        // +1e-9: decimal-lattice halfway points round differently per
+        // engine (BENCH.md methodology; the repo-wide average convention)
+        round(col("mean_left") + lit(1e-9), 4).as("mean_left"),
+        round(col("mean_right") + lit(1e-9), 4).as("mean_right"),
+        round(col("delta") + lit(1e-9), 4).as("delta"))
+  }
+
+  /** k-anonymity suppression — drop every row whose quasi-identifier
+    * combination has fewer than k occurrences (the release gate privacy
+    * reviews run on training corpora: a (lang, source, ...) cell with 2
+    * members re-identifies them). One combinable count per cell +
+    * a same-key join back; rows never shuffle twice.
+    */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    val cells = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("_cell_n"))
+      .filter(col("_cell_n") >= k)
+    df.join(cells, quasiIds).drop("_cell_n")
+  }
+
   /** Multiline aggregation (reference: file source `multiline` mode,
     * src/sources/file.rs:64-245 — continuation lines are appended to the
     * record opened by the last start-marker line). Batch analog of

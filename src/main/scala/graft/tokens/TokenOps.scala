@@ -95,6 +95,33 @@ object TokenOps {
   def mixSample(df: DataFrame, ratesPpm: Seq[(String, Int)] = DefaultMixPpm): DataFrame =
     df.filter(pmod(Hashing.h15(col("doc_id")), lit(1000000L)) < mixRate(ratesPpm))
 
+  /** Largest-remainder budget allocation — split an exact global sample
+    * budget across sources in proportion to a weight (here: row share),
+    * with the leftover units going to the largest fractional remainders
+    * (Hamilton's method). The step before any mix/sample stage that must
+    * hit an EXACT token or row budget: per-source budgets sum to
+    * precisely `budget`, no float drift.
+    *
+    * Pure integer arithmetic — `base = budget·w div Σw`, remainder ranks
+    * break ties by source name — so the allocation is bit-identical across
+    * engines and runs. One combinable count + windows over the
+    * sources-sized table (metadata-sized at any corpus scale).
+    */
+  def allocateBudget(df: DataFrame, source: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.groupBy(source.as("source")).agg(count(lit(1)).as("w"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    w.withColumn("tot", sum(col("w")).over(wAll))
+      .withColumn("base", expr(s"w * ${budget}L div tot"))
+      .withColumn("rem", expr(s"(w * ${budget}L) % tot"))
+      .withColumn("spare", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .select(col("source"), col("w"),
+        (col("base") + when(col("rk") <= col("spare"), 1L).otherwise(0L))
+          .as("budget"))
+  }
+
   /** Deterministic train/val/test assignment: split is a pure function of
     * `h15("split|" + doc_id)` — replay-stable, partitioning-invariant, and
     * INDEPENDENT of [[mixSample]]'s selection hash (distinct salt

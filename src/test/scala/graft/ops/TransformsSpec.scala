@@ -72,6 +72,40 @@ class TransformsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("changePoint: finds the level shift; means exact") {
+    // series X: hours 0-2 at 10 events, hours 3-4 at 30 events
+    val rows = (0 until 5).flatMap { h =>
+      val n = if (h < 3) 10 else 30
+      (0 until n).map(i => ("X", ts(h * 3600L + i)))
+    }
+    val out = Transforms.changePoint(rows.toDF("e", "ts"), col("e"), col("ts"), "hour")
+      .select("mean_left", "mean_right", "delta")
+      .as[(Double, Double, Double)].collect()
+    assert(out.length === 1)
+    assert(out.head === ((10.0, 30.0, 20.0)))
+  }
+
+  test("kAnonymize: cells under k vanish entirely, cells at k survive whole") {
+    val df = (1 to 10).map(i => (i.toLong, "big")) ++
+      (11 to 13).map(i => (i.toLong, "small"))
+    val out = Transforms.kAnonymize(df.toDF("id", "cell"), Seq("cell"), k = 5)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === (1L to 10L))
+  }
+
+  test("allocateBudget: exact total, proportional bases, deterministic remainders") {
+    import graft.tokens.TokenOps
+    // weights 5:3:2 over budget 103 -> exact 51.5/30.9/20.6,
+    // bases 51/30/20 (sum 101), two spares -> remainders .9 (b) and .6 (c)
+    val rows = (1 to 50).map(i => (i, "a")) ++ (1 to 30).map(i => (i, "b")) ++
+      (1 to 20).map(i => (i, "c"))
+    val out = TokenOps.allocateBudget(rows.toDF("id", "source"),
+      col("source"), budget = 103L)
+      .select("source", "budget").as[(String, Long)].collect().toMap
+    assert(out.values.sum === 103L)
+    assert(out === Map("a" -> 51L, "b" -> 31L, "c" -> 21L))
+  }
+
   test("cohortRetention: first-bucket cohorts, later activity counted distinct") {
     val day = 86400L
     val df = Seq(
