@@ -514,6 +514,27 @@ object DataOpsQueries {
             .as("est_n"))
     }),
 
+    // ---- sliding-window cardinality from PERSISTED hourly sketches:
+    //      trailing-3h distinct users per type by merging 256-byte hourly
+    //      HLL sketches — raw rows are scanned exactly once; every window
+    //      after that is sketch-byte arithmetic (the rollup path) ----
+    "v_hll_sliding" -> ((s, dir) => {
+      import graft.sketch.Hll
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(Hll.agg(col("user_id"), p = 8).as("sk"))
+      val targets = hourly.select(col("event_type"), col("h").as("window_h"))
+      val contrib = hourly.withColumn("window_h", explode(array(
+        col("h"),
+        col("h") + expr("INTERVAL 1 HOUR"),
+        col("h") + expr("INTERVAL 2 HOUR"))))
+      contrib.join(targets, Seq("event_type", "window_h"))
+        .groupBy(col("event_type"), col("window_h"))
+        .agg(Hll.mergeAgg(col("sk"), p = 8).as("sk3"))
+        .select(col("event_type"), col("window_h"),
+          round(Hll.estimate(col("sk3"), p = 8) + lit(1e-9), 4).as("est_n"))
+    }),
+
     // ---- PMI top collocations (adjacent-pair mutual information in
     //      integer micronats — the tokenizer-merge / MWE audit) ----
     "p_pmi_pairs" -> ((s, _) => {
@@ -1393,6 +1414,47 @@ object DataOpsQueries {
     // md5-derived bucket/rho scheme), fold Σ2^-M in register-index order
     // (bit-identical double sum), apply the same estimator text with the
     // linear-counting small-range branch.
+    // sliding twin: an event contributes to windows h, h+1, h+2 (only
+    // those that are real hours of its type); then the IDENTICAL register
+    // rebuild + estimator as v_hll, grouped by (type, window).
+    "v_hll_sliding" -> {
+      val hexpr = dH15("concat('hll|', user_id)")
+      s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, user_id
+         |            FROM events),
+         |hours AS (SELECT DISTINCT event_type, h FROM ev),
+         |w AS (
+         |  SELECT c.event_type, c.window_h, c.user_id
+         |  FROM (SELECT e.event_type, e.h + to_hours(o.o) AS window_h, e.user_id
+         |        FROM ev e, (SELECT unnest([0, 1, 2]) AS o) o) c
+         |  JOIN hours t ON t.event_type = c.event_type AND t.h = c.window_h),
+         |hpairs AS (
+         |  SELECT event_type, window_h, $hexpr AS h
+         |  FROM (SELECT DISTINCT event_type, window_h, user_id FROM w)),
+         |r AS (SELECT event_type, window_h, CAST(h % 256 AS INT) AS bucket,
+         |        max(53 - (CASE WHEN h // 256 = 0 THEN 0
+         |                  ELSE len(printf('%b', h // 256)) END)) AS rho
+         |      FROM hpairs GROUP BY event_type, window_h, bucket),
+         |regs AS (SELECT g.event_type, g.window_h, gs.b, coalesce(r.rho, 0) AS rho
+         |         FROM (SELECT event_type, h AS window_h FROM hours) g
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gs
+         |         LEFT JOIN r ON r.event_type = g.event_type
+         |                    AND r.window_h = g.window_h AND r.bucket = gs.b),
+         |l AS (SELECT event_type, window_h, list(rho ORDER BY b) AS rs FROM regs
+         |      GROUP BY event_type, window_h),
+         |est AS (SELECT event_type, window_h,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list_transform(rs, x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE))),
+         |            (acc, x) -> acc + x) AS sum_inv,
+         |          len(list_filter(rs, x -> x = 0)) AS zeros FROM l),
+         |e AS (SELECT event_type, window_h, zeros,
+         |        (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / sum_inv AS raw
+         |      FROM est)
+         |SELECT event_type, window_h,
+         |  round((CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+         |         THEN 256.0 * ln(256.0 / zeros) ELSE raw END) + 1e-9, 4) AS est_n
+         |FROM e""".stripMargin
+    },
+
     "v_hll" -> {
       val hexpr = dH15("concat('hll|', user_id)")
       s"""WITH hpairs AS (

@@ -97,6 +97,18 @@ object Hll {
   def estimate(sketch: Column, p: Int): Column =
     Bridge.column(HllEstimate(Bridge.expression(sketch), p))
 
+  /** Aggregate that UNIONs pre-aggregated sketches — elementwise register
+    * max over a BINARY sketch COLUMN. The rollup path a 100 TB metrics
+    * store lives on: persist one (1<<p)-byte sketch per (series, bucket)
+    * ONCE, then answer any window/rollup by merging sketch bytes instead
+    * of re-scanning raw rows. Idempotent merge (max) → overlapping
+    * windows and retries never inflate the estimate, unlike additive
+    * counters.
+    */
+  def mergeAgg(sketch: Column, p: Int): Column =
+    Bridge.column(HllMergeAgg(Bridge.expression(sketch), p)
+      .toAggregateExpression())
+
   /** Elementwise max of two register arrays — the sketch-union law used
     * for downstream re-merging of persisted sketches.
     */
@@ -198,4 +210,64 @@ case class HllEstimate(child: Expression, p: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): HllEstimate =
     copy(child = newChild)
+}
+
+/** Sketch-union aggregate: elementwise register max over a binary sketch
+  * column (see [[Hll.mergeAgg]]). A sketch whose length is not `1 << p`
+  * is malformed input and rejected loudly — inputs here are this repo's
+  * own persisted sketches, so silence would hide corruption.
+  */
+case class HllMergeAgg(child: Expression, p: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+  require(p >= 4 && p <= 16, "p must be in [4, 16]")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[Array[Byte]]
+      require(s.length == b.length,
+        s"hll_merge: sketch of ${s.length} bytes, expected ${b.length}")
+      var i = 0
+      while (i < b.length) {
+        if ((s(i) & 0xff) > (b(i) & 0xff)) b(i) = s(i)
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b.length) {
+      if ((o(i) & 0xff) > (b(i) & 0xff)) b(i) = o(i)
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: Array[Byte]): Any = b.clone()
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"hll_merge needs binary sketch, got $t")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "hll_merge"
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = c.head)
 }

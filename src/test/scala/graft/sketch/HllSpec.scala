@@ -60,4 +60,20 @@ class HllSpec extends SparkSpec {
       .select(Hll.estimate(col("sk"), P).as("e")).head().getDouble(0)
     assert(viaCol == Hll.estimateJvm(sk))
   }
+
+  test("mergeAgg: union of partial sketches is bit-identical to one raw pass") {
+    val keys = (1L to 5000L)
+    val direct = sketchOf(keys)
+    // three overlapping shards — idempotent max-merge must not double count
+    val shards = Seq(keys.filter(_ % 2 == 0), keys.filter(_ % 3 == 0),
+      keys.filter(k => k % 2 == 1 || k % 3 == 1))
+    val merged = shards.map(ks => Tuple1(sketchOf(ks))).toDF("sk")
+      .agg(Hll.mergeAgg(col("sk"), P).as("m"))
+      .head().getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(merged, direct))
+    // merging the union with itself changes nothing (idempotence)
+    val twice = Seq(Tuple1(merged), Tuple1(merged)).toDF("sk")
+      .agg(Hll.mergeAgg(col("sk"), P).as("m")).head().getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(twice, direct))
+  }
 }
