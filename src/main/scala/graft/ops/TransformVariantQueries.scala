@@ -126,6 +126,14 @@ object TransformVariantQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // ---- winsorization: clamp to the per-type [p1, p99] band ----
+    "v_winsorize" -> ((s, dir) => {
+      Transforms.winsorize(ev(s, dir), col("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          round(col("value_w") + lit(1e-9), 2).as("value_w"))
+    }),
+
     // ---- level-shift change-point: binary segmentation per series ----
     "v_change_point" -> ((s, dir) => {
       Transforms.changePoint(ev(s, dir), col("event_type"), col("ts"), "hour")
@@ -369,6 +377,15 @@ object TransformVariantQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS n
         |        FROM events GROUP BY 1, 2))
         |WHERE rk <= 3""".stripMargin,
+
+    "v_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |         quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+        |       round(least(greatest(e.value, q.lo), q.hi) + 1e-9, 2) AS value_w
+        |FROM events e JOIN q USING (event_type)""".stripMargin,
 
     "v_change_point" ->
       """WITH c AS (

@@ -476,6 +476,29 @@ object Transforms {
         round(col("delta") + lit(1e-9), 4).as("delta"))
   }
 
+  /** Winsorization — clamp a value column to its series' [lo, hi]
+    * percentile band (outlier trimming before any mean/sum aggregation;
+    * the metric-hygiene step between log_to_metric and aggregate when a
+    * buggy client emits 1e12 ms latencies).
+    *
+    * The percentile pair collapses per series (one combinable-input
+    * aggregate; interpolation matches DuckDB's `quantile_cont` — the
+    * proven cross-engine pair from the summary-mode oracle) and
+    * broadcasts back; the clamp itself is a narrow `least/greatest`.
+    */
+  def winsorize(df: DataFrame, series: Column, value: Column,
+                lo: Double = 0.01, hi: Double = 0.99,
+                out: String = "value_w"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val base = df.withColumn("_wv", value)
+    val q = base.groupBy(series.as("_ws"))
+      .agg(expr(s"percentile(_wv, $lo)").as("_lo"),
+        expr(s"percentile(_wv, $hi)").as("_hi"))
+    base.join(broadcast(q), series === col("_ws"))
+      .withColumn(out, least(greatest(col("_wv"), col("_lo")), col("_hi")))
+      .drop("_ws", "_wv", "_lo", "_hi")
+  }
+
   /** k-anonymity suppression — drop every row whose quasi-identifier
     * combination has fewer than k occurrences (the release gate privacy
     * reviews run on training corpora: a (lang, source, ...) cell with 2

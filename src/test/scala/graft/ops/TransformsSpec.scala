@@ -72,6 +72,17 @@ class TransformsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("winsorize: clamps both tails, leaves the body untouched") {
+    // 100 values 1..100 per series; p1=1.99, p99=99.01 (linear interp)
+    val df = (1 to 100).map(i => ("A", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val out = Transforms.winsorize(df, col("k"), col("v"))
+      .select("id", "value_w").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 1.99) // low tail raised to p1
+    assert(out(100L) === 99.01) // high tail lowered to p99
+    assert(out(50L) === 50.0) // body untouched
+    assert(out.size === 100)
+  }
+
   test("changePoint: finds the level shift; means exact") {
     // series X: hours 0-2 at 10 events, hours 3-4 at 30 events
     val rows = (0 until 5).flatMap { h =>
