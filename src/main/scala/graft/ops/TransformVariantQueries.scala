@@ -126,6 +126,11 @@ object TransformVariantQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // ---- join-key skew audit: top heavy hitters with ppm share ----
+    "v_skew_audit" -> ((s, dir) => {
+      Transforms.skewAudit(ev(s, dir), col("user_id"), topK = 10)
+    }),
+
     // ---- winsorization: clamp to the per-type [p1, p99] band ----
     "v_winsorize" -> ((s, dir) => {
       Transforms.winsorize(ev(s, dir), col("event_type"), col("value"))
@@ -377,6 +382,12 @@ object TransformVariantQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS n
         |        FROM events GROUP BY 1, 2))
         |WHERE rk <= 3""".stripMargin,
+
+    "v_skew_audit" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT c.key, c.n, CAST((c.n * 1000000) // t.tot AS BIGINT) AS share_ppm
+        |FROM c, t ORDER BY c.n DESC, c.key LIMIT 10""".stripMargin,
 
     "v_winsorize" ->
       """WITH q AS (

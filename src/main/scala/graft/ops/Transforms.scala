@@ -476,6 +476,28 @@ object Transforms {
         round(col("delta") + lit(1e-9), 4).as("delta"))
   }
 
+  /** Join-key skew audit — the diagnostic run BEFORE picking a join
+    * strategy: the top-k heaviest keys with their integer-ppm share of
+    * the table. A key above ~1/parallelism ppm means a flat shuffle
+    * join serializes through one reducer → reach for
+    * [[graft.enrich.Enrich.saltedJoin]] (and size `salts` from the share).
+    *
+    * One combinable count + a TakeOrdered top-k; shares in integer ppm
+    * (exact `div`, no float drift).
+    */
+  def skewAudit(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    // total as a broadcast 1-row join, NOT a partitionBy() window — an
+    // empty-partition window would drag every distinct key through one
+    // task, the exact pathology this audit exists to catch
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n * 1000000L div tot"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("n"), col("share_ppm"))
+  }
+
   /** Winsorization — clamp a value column to its series' [lo, hi]
     * percentile band (outlier trimming before any mean/sum aggregation;
     * the metric-hygiene step between log_to_metric and aggregate when a
