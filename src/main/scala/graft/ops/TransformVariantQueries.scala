@@ -126,6 +126,14 @@ object TransformVariantQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // ---- SLO burn rate: hourly + trailing-6h error ppm, burn flags ----
+    // ("error" = value >= 150, ~25% base rate against a 100000-ppm budget
+    //  so both burn flags actually fire in the data)
+    "v_burn_rate" -> ((s, dir) => {
+      Transforms.burnRate(ev(s, dir), col("event_type"), col("ts"),
+        col("value") >= 150, budgetPpm = 100000L)
+    }),
+
     // ---- join-key skew audit: top heavy hitters with ppm share ----
     "v_skew_audit" -> ((s, dir) => {
       Transforms.skewAudit(ev(s, dir), col("user_id"), topK = 10)
@@ -382,6 +390,29 @@ object TransformVariantQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS n
         |        FROM events GROUP BY 1, 2))
         |WHERE rk <= 3""".stripMargin,
+
+    "v_burn_rate" ->
+      """WITH h AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS h,
+        |         count(*) AS n,
+        |         CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS errs
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT series, h, n, errs,
+        |    sum(n) OVER (PARTITION BY series
+        |      ORDER BY CAST(epoch(date_trunc('second', h)) AS BIGINT)
+        |      RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS n6,
+        |    sum(errs) OVER (PARTITION BY series
+        |      ORDER BY CAST(epoch(date_trunc('second', h)) AS BIGINT)
+        |      RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS errs6
+        |  FROM h)
+        |SELECT series, h, n, errs,
+        |  CAST((errs * 1000000) // n AS BIGINT) AS rate_ppm,
+        |  CAST((errs6 * 1000000) // n6 AS BIGINT) AS rate6_ppm,
+        |  ((errs * 1000000) // n) > 1440000 AS burn_fast,
+        |  ((errs6 * 1000000) // n6) > 600000 AS burn_slow
+        |FROM w""".stripMargin,
 
     "v_skew_audit" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),

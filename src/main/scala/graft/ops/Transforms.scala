@@ -476,6 +476,40 @@ object Transforms {
         round(col("delta") + lit(1e-9), 4).as("delta"))
   }
 
+  /** SLO burn rate — the multi-window error-budget alert (Google SRE
+    * workbook ch. 5): per (series, hour), the error rate and its
+    * trailing-6h counterpart in integer ppm, plus the fast/slow burn
+    * flags (hourly rate > 14.4× budget / 6-h rate > 6× budget — page
+    * only when BOTH windows burn, which this emits as columns so the
+    * caller ANDs them).
+    *
+    * The corpus collapses once into hourly (n, errors) pairs —
+    * combinable shuffle; trailing sums are a RANGE frame over the
+    * collapsed table's integer epoch hours. All-integer rates (`div`,
+    * ppm) — no float drift anywhere.
+    */
+  def burnRate(df: DataFrame, series: Column, ts: Column, isError: Column,
+               budgetPpm: Long): DataFrame = {
+    require(budgetPpm > 0, "budgetPpm must be positive")
+    val hourly = df.groupBy(series.as("series"),
+      date_trunc("hour", ts).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(coalesce(isError, lit(false)), 1L).otherwise(0L)).as("errs"))
+    val hEpoch = col("h").cast("timestamp").cast("long")
+    val w6 = Window.partitionBy(col("series")).orderBy(hEpoch)
+      .rangeBetween(-5 * 3600L, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("errs6", sum(col("errs")).over(w6))
+      .select(col("series"), col("h"), col("n"), col("errs"),
+        expr("errs * 1000000L div n").as("rate_ppm"),
+        expr("errs6 * 1000000L div n6").as("rate6_ppm"),
+        (expr("errs * 1000000L div n") > lit(budgetPpm * 144L / 10L))
+          .as("burn_fast"),
+        (expr("errs6 * 1000000L div n6") > lit(budgetPpm * 6L))
+          .as("burn_slow"))
+  }
+
   /** Join-key skew audit — the diagnostic run BEFORE picking a join
     * strategy: the top-k heaviest keys with their integer-ppm share of
     * the table. A key above ~1/parallelism ppm means a flat shuffle

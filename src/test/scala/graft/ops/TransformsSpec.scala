@@ -72,6 +72,26 @@ class TransformsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("burnRate: integer rates exact; flags fire at the SRE thresholds") {
+    // hour 0: 2/10 errors (200000 ppm > 14.4% fast threshold at 1% budget)
+    // hours 1-5: 0/10 -> trailing-6h at hour 5 = 2/60 = 33333 ppm
+    val rows = (0 until 6).flatMap { h =>
+      (0 until 10).map(i => ("api", ts(h * 3600L + i), h == 0 && i < 2))
+    }
+    val out = Transforms.burnRate(rows.toDF("svc", "ts", "err"),
+      col("svc"), col("ts"), col("err"), budgetPpm = 10000L)
+      .select("n", "errs", "rate_ppm", "rate6_ppm", "burn_fast", "burn_slow")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .sortBy(_._4)(Ordering[Long].reverse)
+    assert(out.length === 6)
+    val h0 = out.find(_._2 == 2L).get
+    assert(h0 === ((10L, 2L, 200000L, 200000L, true, true)))
+    // the last hour still carries hour 0 in its trailing window
+    assert(out.exists(r => r._2 == 0L && r._4 == 2000000L / 60L))
+    // quiet hours never burn fast
+    assert(out.filter(_._2 == 0L).forall(!_._5))
+  }
+
   test("winsorize: clamps both tails, leaves the body untouched") {
     // 100 values 1..100 per series; p1=1.99, p99=99.01 (linear interp)
     val df = (1 to 100).map(i => ("A", i.toLong, i.toDouble)).toDF("k", "id", "v")
